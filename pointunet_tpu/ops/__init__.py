@@ -1,0 +1,28 @@
+from .knn import knn, knn_batch, knn_with_distances
+from .gather import (
+    gather_neighbour,
+    max_pool_neighbours,
+    nearest_interpolation,
+    relative_pos_encoding,
+)
+from .pyramid import Pyramid, build_pyramid, build_pyramid_batch
+from .subsample import grid_subsample, grid_subsample_fixed, grid_subsample_numpy
+from .scatter import scatter_labels_to_volume, scatter_probs_to_volume
+
+__all__ = [
+    "knn",
+    "knn_batch",
+    "knn_with_distances",
+    "gather_neighbour",
+    "max_pool_neighbours",
+    "nearest_interpolation",
+    "relative_pos_encoding",
+    "Pyramid",
+    "build_pyramid",
+    "build_pyramid_batch",
+    "grid_subsample",
+    "grid_subsample_fixed",
+    "grid_subsample_numpy",
+    "scatter_labels_to_volume",
+    "scatter_probs_to_volume",
+]

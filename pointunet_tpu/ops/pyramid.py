@@ -1,0 +1,54 @@
+"""Multi-level point pyramid construction — the input-graph work of the
+reference's tf_map (reference PointSegment/runBraTS.py:137-163) done in one
+jit on device.
+
+Per level i (num_layers levels):
+  * neigh_idx[i] : self-KNN (N_i, K) on the level's points
+  * sub_points   : first N_i // ratio[i] points (input is pre-shuffled, so
+                   slicing is random decimation — reference runBraTS.py:149)
+  * pool_idx[i]  : neigh_idx rows of the kept points (N_{i+1}, K)
+  * up_idx[i]    : 1-NN of every level-i point in the decimated set (N_i, 1),
+                   used by the decoder's nearest interpolation.
+
+All shapes derive from (num_points, ratios) and are static.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .knn import knn
+
+
+class Pyramid(NamedTuple):
+    xyz: Tuple[jax.Array, ...]        # (N_i, 3) per level
+    neigh_idx: Tuple[jax.Array, ...]  # (N_i, K)
+    sub_idx: Tuple[jax.Array, ...]    # (N_{i+1}, K)
+    interp_idx: Tuple[jax.Array, ...] # (N_i, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ratios"))
+def build_pyramid(
+    xyz: jax.Array, k: int, ratios: Tuple[int, ...]
+) -> Pyramid:
+    """Build the decimation pyramid for one (pre-shuffled) cloud (N, 3)."""
+    xyzs, neighs, subs, ups = [], [], [], []
+    cur = xyz.astype(jnp.float32)
+    for r in ratios:
+        n_sub = cur.shape[0] // r
+        neigh = knn(cur, cur, k)
+        sub_points = cur[:n_sub]
+        xyzs.append(cur)
+        neighs.append(neigh)
+        subs.append(neigh[:n_sub])
+        ups.append(knn(sub_points, cur, 1))
+        cur = sub_points
+    return Pyramid(tuple(xyzs), tuple(neighs), tuple(subs), tuple(ups))
+
+
+def build_pyramid_batch(xyz: jax.Array, k: int, ratios: Tuple[int, ...]) -> Pyramid:
+    """Batched pyramid build: (B, N, 3) -> Pyramid with leading batch dims."""
+    return jax.vmap(lambda x: build_pyramid(x, k, ratios))(xyz)

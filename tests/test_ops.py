@@ -1,0 +1,127 @@
+import numpy as np
+
+from pointunet_tpu.ops import (
+    build_pyramid,
+    gather_neighbour,
+    grid_subsample_numpy,
+    max_pool_neighbours,
+    nearest_interpolation,
+    relative_pos_encoding,
+    scatter_labels_to_volume,
+    scatter_probs_to_volume,
+)
+
+
+def test_gather_neighbour(rng):
+    feats = rng.standard_normal((10, 4)).astype(np.float32)
+    idx = rng.integers(0, 10, size=(6, 3))
+    out = np.asarray(gather_neighbour(feats, idx))
+    np.testing.assert_allclose(out, feats[idx])
+
+
+def test_max_pool_neighbours(rng):
+    feats = rng.standard_normal((10, 4)).astype(np.float32)
+    idx = rng.integers(0, 10, size=(5, 3))
+    out = np.asarray(max_pool_neighbours(feats, idx))
+    np.testing.assert_allclose(out, feats[idx].max(axis=1))
+
+
+def test_nearest_interpolation(rng):
+    feats = rng.standard_normal((7, 5)).astype(np.float32)
+    idx = rng.integers(0, 7, size=(20, 1))
+    out = np.asarray(nearest_interpolation(feats, idx))
+    np.testing.assert_allclose(out, feats[idx[:, 0]])
+
+
+def test_relative_pos_encoding(rng):
+    xyz = rng.standard_normal((8, 3)).astype(np.float32)
+    idx = rng.integers(0, 8, size=(8, 4))
+    out = np.asarray(relative_pos_encoding(xyz, idx))
+    assert out.shape == (8, 4, 10)
+    rel = xyz[:, None, :] - xyz[idx]
+    np.testing.assert_allclose(
+        out[..., 0], np.linalg.norm(rel, axis=-1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(out[..., 1:4], rel, rtol=1e-5)
+    np.testing.assert_allclose(out[..., 7:10], xyz[idx], rtol=1e-5)
+
+
+def test_build_pyramid_shapes(rng):
+    n, k = 256, 8
+    ratios = (4, 2)
+    xyz = rng.standard_normal((n, 3)).astype(np.float32)
+    pyr = build_pyramid(xyz, k, ratios)
+    assert pyr.xyz[0].shape == (256, 3)
+    assert pyr.xyz[1].shape == (64, 3)
+    assert pyr.neigh_idx[0].shape == (256, k)
+    assert pyr.sub_idx[0].shape == (64, k)
+    assert pyr.interp_idx[0].shape == (256, 1)
+    assert pyr.interp_idx[1].shape == (64, 1)
+    # decimation is slicing: level-1 points are the first 64 of level 0
+    np.testing.assert_allclose(np.asarray(pyr.xyz[1]), xyz[:64])
+    # pool rows equal neighbor rows of kept points
+    np.testing.assert_array_equal(
+        np.asarray(pyr.sub_idx[0]), np.asarray(pyr.neigh_idx[0])[:64]
+    )
+
+
+def test_grid_subsample_numpy_basic():
+    pts = np.array(
+        [[0.0, 0.0, 0.0], [0.1, 0.1, 0.0], [2.0, 2.0, 2.0]], dtype=np.float32
+    )
+    feats = np.array([[1.0], [3.0], [10.0]], dtype=np.float32)
+    labels = np.array([1, 1, 2], dtype=np.int32)
+    sp, sf, sl = grid_subsample_numpy(pts, feats, labels, grid_size=1.0)
+    assert sp.shape == (2, 3)
+    order = np.argsort(sp[:, 0])
+    sp, sf, sl = sp[order], sf[order], sl[order]
+    np.testing.assert_allclose(sp[0], [0.05, 0.05, 0.0], atol=1e-6)
+    np.testing.assert_allclose(sf[:, 0], [2.0, 10.0])
+    np.testing.assert_array_equal(sl, [1, 2])
+
+
+def test_grid_subsample_fixed_matches_numpy(rng):
+    import jax.numpy as jnp
+    from pointunet_tpu.ops import grid_subsample_fixed
+
+    pts = rng.uniform(0, 1, size=(200, 3)).astype(np.float32)
+    feats = rng.standard_normal((200, 2)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(200,)).astype(np.int32)
+    ref_p, ref_f, ref_l = grid_subsample_numpy(pts, feats, labels, 0.25)
+
+    sp, sf, sl, valid = grid_subsample_fixed(
+        jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(labels),
+        0.25, max_cells=128, num_classes=3,
+    )
+    sp = np.asarray(sp)[np.asarray(valid)]
+    sf = np.asarray(sf)[np.asarray(valid)]
+    sl = np.asarray(sl)[np.asarray(valid)]
+    assert sp.shape[0] == ref_p.shape[0]
+
+    def sort_all(p, f, l):
+        key = np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+        return p[key], f[key], l[key]
+
+    sp, sf, sl = sort_all(sp, sf, sl)
+    ref_p, ref_f, ref_l = sort_all(ref_p, ref_f, ref_l)
+    np.testing.assert_allclose(sp, ref_p, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sf, ref_f, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(sl, ref_l)
+
+
+def test_scatter_probs(rng):
+    probs = rng.uniform(size=(4, 2)).astype(np.float32)
+    xyz = np.array([[0, 1, 2], [3, 0, 1], [2, 2, 0], [1, 3, 3]], dtype=np.int32)
+    vol = np.asarray(scatter_probs_to_volume(probs, xyz, (4, 4, 4)))
+    assert vol.shape == (4, 4, 4, 2)
+    for i in range(4):
+        x, y, z = xyz[i]
+        np.testing.assert_allclose(vol[z, y, x], probs[i])
+
+
+def test_scatter_labels(rng):
+    labels = np.array([1, 2, 3], dtype=np.int32)
+    xyz = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]], dtype=np.int32)
+    vol = np.asarray(scatter_labels_to_volume(labels, xyz, (3, 3, 3)))
+    assert vol[0, 0, 0] == 1 and vol[1, 1, 1] == 2 and vol[2, 2, 2] == 3
+    assert vol.sum() == 6
