@@ -1,0 +1,110 @@
+"""Fused end-to-end segmentation: nii.gz volumes -> nii.gz labels.
+
+This command has no reference equivalent — it replaces the reference's
+six-step filesystem relay (predict -> genBinaryMap -> dataPrepare -> run
+test -> genSegmentation -> evaluation, SURVEY §1) with one in-process
+pipeline call per case (pipeline/end2end.py). It is the path behind the
+<2 s/volume north-star target.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..core.config import (
+    brats_pointseg_config,
+    brats_saliency_config,
+    pancreas_pointseg_config,
+    pancreas_saliency_config,
+)
+from ..core.checkpoint import BestMetricCheckpointer
+from ..data import nifti
+from ..data.loader import (
+    BRATS_MODALITIES,
+    find_brats_cases,
+    load_brats_case,
+)
+from ..models.randlanet import init_randlanet
+from ..models.saliency_unet import init_saliency_unet
+from ..pipeline.end2end import PointUnetPipeline
+from ..train.pointseg import PointSegTrainer
+from ..train.saliency import SaliencyTrainer
+
+
+def build_pipeline(args):
+    if args.dataset == "brats":
+        scfg = brats_saliency_config()
+        pcfg = brats_pointseg_config(num_points=args.n_point)
+    else:
+        scfg = pancreas_saliency_config()
+        pcfg = pancreas_pointseg_config(num_points=args.n_point)
+
+    rng = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(rng, scfg)
+    pmodel, pvars = init_randlanet(rng, pcfg, num_points=pcfg.num_points)
+
+    if args.saliency_checkpoint:
+        strainer = SaliencyTrainer(scfg)
+        sstate = strainer.init_state()
+        restored = BestMetricCheckpointer(
+            args.saliency_checkpoint
+        ).restore_best(sstate)
+        if restored is not None:
+            svars = {
+                "params": restored.params,
+                "batch_stats": restored.batch_stats,
+            }
+    if args.pointseg_checkpoint:
+        ptrainer = PointSegTrainer(pcfg)
+        pstate = ptrainer.init_state()
+        restored = BestMetricCheckpointer(
+            args.pointseg_checkpoint
+        ).restore_best(pstate)
+        if restored is not None:
+            pvars = {
+                "params": restored.params,
+                "batch_stats": restored.batch_stats,
+            }
+    return PointUnetPipeline(
+        smodel, svars, pmodel, pvars, scfg, pcfg, threshold=args.threshold
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset", choices=["brats", "pancreas"],
+                        default="brats")
+    parser.add_argument("--data_3D_path", type=str, required=True)
+    parser.add_argument("--outSegment_path", type=str, required=True)
+    parser.add_argument("--saliency_checkpoint", type=str, default=None)
+    parser.add_argument("--pointseg_checkpoint", type=str, default=None)
+    parser.add_argument("--threshold", type=float, default=0.9)
+    parser.add_argument("--n_point", type=int, default=365000)
+    args = parser.parse_args(argv)
+
+    pipeline = build_pipeline(args)
+    os.makedirs(args.outSegment_path, exist_ok=True)
+
+    cases = find_brats_cases(args.data_3D_path)
+    for case_dir in cases:
+        rec, meta = load_brats_case(case_dir, with_label=False, crop=False)
+        # record is [z,y,x]; pipeline expects (C, X, Y, Z)
+        mods = np.transpose(rec.image, (0, 3, 2, 1))
+        t0 = time.time()
+        labels = pipeline.segment_volume(
+            mods, brats_labels=args.dataset == "brats"
+        )
+        dt = time.time() - t0
+        out = os.path.join(
+            args.outSegment_path, f"{meta['case_id']}.nii.gz"
+        )
+        nifti.save(labels, out)
+        print(f"{meta['case_id']}: {dt:.2f} s -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,7 @@ class PointSegConfig:
     lr_decay: float = 0.95             # per-epoch multiplicative decay
     max_epoch: int = 100
     dropout_rate: float = 0.5
+    bn_momentum: float = 0.99          # reference helper_tf_util.py:167
     ignored_label_inds: Tuple[int, ...] = ()
     # class weights follow reference DP.get_class_weights (helper_tool.py:172-184)
     class_counts: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)

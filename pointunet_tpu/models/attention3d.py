@@ -1,0 +1,56 @@
+"""Spatial and channel-wise 3D attention gates.
+
+Re-designs of reference SaliencyAttention/attention.py:79-174. Layout is
+channels-last (B, D, H, W, C) throughout; separable large-kernel convs map
+well onto XLA's conv tiling.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .norms import NormRelu
+
+_CONV_INIT = nn.initializers.glorot_uniform()
+
+
+class SpatialAttention3D(nn.Module):
+    """Three separable k=9 conv pairs summed -> sigmoid -> broadcast over C
+    (reference attention.py:79-154)."""
+
+    channels: int            # C of the input (gate is tiled to this)
+    instance_norm: bool = True
+    axis_name: Optional[str] = None
+    kernel: int = 9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel
+        c = self.channels
+
+        def branch(pair_a, pair_b):
+            h = nn.Conv(c // 2, pair_a, padding="SAME", kernel_init=_CONV_INIT)(x)
+            h = NormRelu(self.instance_norm, axis_name=self.axis_name)(h, train)
+            h = nn.Conv(1, pair_b, padding="SAME", kernel_init=_CONV_INIT)(h)
+            return NormRelu(self.instance_norm, axis_name=self.axis_name)(h, train)
+
+        a1 = branch((1, k, k), (k, 1, 1))
+        a2 = branch((k, 1, k), (1, k, 1))
+        a3 = branch((k, k, 1), (1, 1, k))
+        gate = nn.sigmoid(a1 + a2 + a3)                     # (B, D, H, W, 1)
+        return jnp.broadcast_to(gate, x.shape[:-1] + (c,))
+
+
+class ChannelWiseAttention3D(nn.Module):
+    """GAP -> dense(C/4, relu) -> dense(C, sigmoid) -> multiply
+    (reference attention.py:166-174)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        att = jnp.mean(x, axis=(1, 2, 3))                  # (B, C)
+        att = nn.relu(nn.Dense(c // 4, kernel_init=_CONV_INIT)(att))
+        att = nn.sigmoid(nn.Dense(c, kernel_init=_CONV_INIT)(att))
+        return x * att[:, None, None, None, :]

@@ -1,0 +1,244 @@
+"""RandLA-Net point segmentation network, TPU-first.
+
+Re-design of the reference TF1 graph builder (reference
+PointSegment/RandLANet.py:110-152, 314-401) as a flax.linen module:
+
+* every "1x1 conv2d" over points is a Dense layer (identical math, better
+  XLA fusion; the reference's (B, N, 1, C) conv trick exists only because
+  TF1 lacked batched dense);
+* neighbor gathers are static-shape jnp.take ops (ops/gather.py);
+* batch norm follows the reference's hyperparams (momentum 0.99, eps 1e-6,
+  tf.layers.batch_normalization at helper_tf_util.py:167) and can sync
+  statistics across a device mesh via ``axis_name`` — replacing the dormant
+  NCCL path in the reference (custom_ops.py:345-362);
+* weight init mirrors the reference: truncated normal(1e-3) for conv/MLP
+  kernels (helper_tf_util.py:22-36 use_xavier=False default) and
+  glorot-uniform for tf.layers.dense layers (fc0, attention scores).
+
+Forward signature is batched: features (B, N, C_in) + a Pyramid of per-level
+xyz/neighbor/pool/upsample indices (ops/pyramid.py). Logits are (B, N,
+num_classes).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import PointSegConfig
+from ..ops.gather import relative_pos_encoding
+from ..ops.pyramid import Pyramid
+
+_CONV_INIT = nn.initializers.truncated_normal(stddev=1e-3)
+_DENSE_INIT = nn.initializers.glorot_uniform()
+
+
+class SharedMLP(nn.Module):
+    """Dense + optional BatchNorm + leaky_relu(0.2).
+
+    Equivalent of helper_tf_util.conv2d with a 1x1 kernel (reference
+    helper_tf_util.py:115-170 — note the reference applies leaky_relu
+    whenever an activation is requested, regardless of which one).
+    """
+
+    features: int
+    bn: bool = True
+    activation: bool = True
+    momentum: float = 0.99
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.features, kernel_init=_CONV_INIT)(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.momentum,
+                epsilon=1e-6,
+                axis_name=self.axis_name if train else None,
+            )(x)
+        if self.activation:
+            x = nn.leaky_relu(x, negative_slope=0.2)
+        return x
+
+
+class AttPooling(nn.Module):
+    """Attentive pooling over K neighbors (reference RandLANet.py:388-401).
+
+    scores = softmax(W f) over the K axis; output = MLP(sum_k scores * f).
+    """
+
+    d_out: int
+    momentum: float = 0.99
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feature_set, train: bool = False):
+        # feature_set: (B, N, K, d)
+        d = feature_set.shape[-1]
+        att = nn.Dense(d, use_bias=False, kernel_init=_DENSE_INIT)(feature_set)
+        scores = jax.nn.softmax(att, axis=-2)
+        agg = jnp.sum(scores * feature_set, axis=-2)        # (B, N, d)
+        return SharedMLP(self.d_out, momentum=self.momentum, axis_name=self.axis_name)(agg, train)
+
+
+class LocalFeatureAggregation(nn.Module):
+    """Building block: two rounds of (spatial encoding, gather, att-pool)
+    (reference RandLANet.py:323-343)."""
+
+    d_out: int
+    momentum: float = 0.99
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xyz, feature, neigh_idx, train: bool = False):
+        # xyz (B, N, 3); feature (B, N, d_in = d_out//2); neigh_idx (B, N, K)
+        gather = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))
+
+        f_xyz = jax.vmap(relative_pos_encoding)(xyz, neigh_idx)  # (B,N,K,10)
+        f_xyz = SharedMLP(
+            self.d_out // 2, momentum=self.momentum, axis_name=self.axis_name
+        )(f_xyz, train)
+        f_neigh = gather(feature, neigh_idx)                 # (B,N,K,d/2)
+        f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)
+        f_agg = AttPooling(
+            self.d_out // 2, momentum=self.momentum, axis_name=self.axis_name
+        )(f_concat, train)
+
+        f_xyz = SharedMLP(
+            self.d_out // 2, momentum=self.momentum, axis_name=self.axis_name
+        )(f_xyz, train)
+        f_neigh = gather(f_agg, neigh_idx)                   # (B,N,K,d/2)
+        f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)
+        return AttPooling(
+            self.d_out, momentum=self.momentum, axis_name=self.axis_name
+        )(f_concat, train)
+
+
+class DilatedResBlock(nn.Module):
+    """mlp(d/2) -> LFA -> mlp(2d, linear) + shortcut(2d, linear) -> leaky
+    (reference RandLANet.py:314-321)."""
+
+    d_out: int
+    momentum: float = 0.99
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xyz, feature, neigh_idx, train: bool = False):
+        f_pc = SharedMLP(self.d_out // 2, momentum=self.momentum, axis_name=self.axis_name)(
+            feature, train
+        )
+        f_pc = LocalFeatureAggregation(
+            self.d_out, momentum=self.momentum, axis_name=self.axis_name
+        )(xyz, f_pc, neigh_idx, train)
+        f_pc = SharedMLP(
+            2 * self.d_out, activation=False, momentum=self.momentum,
+            axis_name=self.axis_name,
+        )(f_pc, train)
+        shortcut = SharedMLP(
+            2 * self.d_out, activation=False, momentum=self.momentum,
+            axis_name=self.axis_name,
+        )(feature, train)
+        return nn.leaky_relu(f_pc + shortcut, negative_slope=0.2)
+
+
+def _max_pool(feature: jax.Array, pool_idx: jax.Array) -> jax.Array:
+    """(B, N, d), (B, M, K) -> (B, M, d) max over gathered neighbors."""
+    return jax.vmap(
+        lambda f, i: jnp.max(jnp.take(f, i, axis=0), axis=1)
+    )(feature, pool_idx)
+
+
+def _interp(feature: jax.Array, interp_idx: jax.Array) -> jax.Array:
+    """(B, M, d), (B, N, 1) -> (B, N, d) nearest-neighbor upsample."""
+    return jax.vmap(
+        lambda f, i: jnp.take(f, i.reshape(-1), axis=0)
+    )(feature, interp_idx)
+
+
+class RandLANet(nn.Module):
+    """Encoder-decoder over the decimation pyramid (reference
+    RandLANet.py:110-152)."""
+
+    config: PointSegConfig
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jax.Array,   # (B, N, 3 + num_features) = concat(xyz, mods)
+        pyramid: Pyramid,      # batched (leading B on every leaf)
+        train: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        ax = self.axis_name
+        compute_dtype = jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32
+        features = features.astype(compute_dtype)
+
+        # fc0: tf.layers.dense + BN + leaky (reference RandLANet.py:114-116)
+        feature = nn.Dense(8, kernel_init=_DENSE_INIT)(features)
+        feature = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=cfg.bn_momentum,
+            epsilon=1e-6,
+            axis_name=ax if train else None,
+        )(feature)
+        feature = nn.leaky_relu(feature, negative_slope=0.2)
+
+        # Encoder
+        skips = []
+        for i in range(cfg.num_layers):
+            f_enc = DilatedResBlock(
+                cfg.d_out[i], momentum=cfg.bn_momentum, axis_name=ax
+            )(
+                pyramid.xyz[i], feature, pyramid.neigh_idx[i], train
+            )
+            f_sampled = _max_pool(f_enc, pyramid.sub_idx[i])
+            feature = f_sampled
+            if i == 0:
+                skips.append(f_enc)
+            skips.append(f_sampled)
+
+        # Bottleneck 1x1 (reference RandLANet.py:130-132)
+        feature = SharedMLP(
+            skips[-1].shape[-1], momentum=cfg.bn_momentum, axis_name=ax
+        )(feature, train)
+
+        # Decoder (reference RandLANet.py:136-143)
+        for j in range(cfg.num_layers):
+            f_interp = _interp(feature, pyramid.interp_idx[-j - 1])
+            f_cat = jnp.concatenate([skips[-j - 2], f_interp], axis=-1)
+            feature = SharedMLP(
+                skips[-j - 2].shape[-1], momentum=cfg.bn_momentum, axis_name=ax
+            )(f_cat, train)
+
+        # Head: fc1(64) -> fc2(32) -> dropout(0.5) -> fc(num_classes)
+        x = SharedMLP(64, momentum=cfg.bn_momentum, axis_name=ax)(
+            feature, train
+        )
+        x = SharedMLP(32, momentum=cfg.bn_momentum, axis_name=ax)(x, train)
+        x = nn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(x)
+        logits = nn.Dense(cfg.num_classes, kernel_init=_CONV_INIT)(x)
+        return logits.astype(jnp.float32)
+
+
+def init_randlanet(
+    rng: jax.Array,
+    config: PointSegConfig,
+    num_points: Optional[int] = None,
+    axis_name: Optional[str] = None,
+):
+    """Initialize variables with dummy inputs of the configured shapes."""
+    from ..ops.pyramid import build_pyramid_batch
+
+    n = num_points or config.num_points
+    model = RandLANet(config, axis_name=axis_name)
+    xyz = jnp.zeros((1, n, 3), jnp.float32)
+    feats = jnp.zeros((1, n, 3 + config.num_features), jnp.float32)
+    pyr = build_pyramid_batch(xyz, config.k_n, config.sub_sampling_ratio)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, feats, pyr, train=False
+    )
+    return model, variables

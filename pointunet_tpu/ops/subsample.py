@@ -39,11 +39,11 @@ def grid_subsample(
     arity of the reference wrapper (helper_tool.py:124-143).
     """
     try:
-        from ..native import grid_subsample as native_impl
+        from .. import native
+        if native.available():
+            return native.grid_subsample(points, features, labels, grid_size)
     except Exception:
-        native_impl = None
-    if native_impl is not None:
-        return native_impl(points, features, labels, grid_size)
+        pass
     return grid_subsample_numpy(points, features, labels, grid_size)
 
 

@@ -1,0 +1,149 @@
+"""Fused in-process Point-Unet pipeline: volume -> segmentation.
+
+The reference glues its three stages through the filesystem (attention .npy
+-> genBinaryMap -> binary nii.gz -> dataPrepare ply -> runBraTS test .npy ->
+genSegmentation nii.gz; SURVEY §1). Here the same dataflow is one in-process
+call with device-resident intermediates:
+
+  1. saliency attention: sliding-window 3D U-Net -> per-voxel probability
+     (ops/window.py, one jit);
+  2. context-aware sampling: threshold -> fixed-budget point cloud keeping
+     all salient voxels (data/pointcloud.py);
+  3. point segmentation: on-device pyramid + RandLA-Net -> per-point probs;
+  4. scatter back to the voxel grid, argmax, BraTS label 3 -> 4 remap
+     (reference genSegmentationBraTS.py:67-78).
+
+The file-based CLIs (pointunet_tpu/cli) remain available for stage-by-stage
+parity with the reference flag surface.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import PointSegConfig, SaliencyConfig
+from ..data.pointcloud import PointCloud, sample_cloud, volume_to_points
+from ..ops.pyramid import build_pyramid_batch
+from ..ops.scatter import scatter_probs_to_volume
+from ..ops.window import sliding_window_inference
+
+
+class PointUnetPipeline:
+    """End-to-end inference over (C, X, Y, Z) modality volumes."""
+
+    def __init__(
+        self,
+        saliency_model,
+        saliency_variables,
+        pointseg_model,
+        pointseg_variables,
+        saliency_config: SaliencyConfig,
+        pointseg_config: PointSegConfig,
+        threshold: float = 0.9,
+        seed: int = 0,
+    ):
+        self.saliency_model = saliency_model
+        self.saliency_variables = saliency_variables
+        self.pointseg_model = pointseg_model
+        self.pointseg_variables = pointseg_variables
+        self.scfg = saliency_config
+        self.pcfg = pointseg_config
+        self.threshold = threshold
+        self._rng = np.random.default_rng(seed)
+        self._build()
+
+    def _build(self):
+        scfg, pcfg = self.scfg, self.pcfg
+
+        def saliency_fn(window):
+            logits = self.saliency_model.apply(
+                self.saliency_variables, window, train=False
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        @jax.jit
+        def attention_probs(volume_dhwc):
+            return sliding_window_inference(
+                volume_dhwc,
+                saliency_fn,
+                scfg.inference_patch_size,
+                (scfg.xstep, scfg.ystep, scfg.zstep),
+                scfg.num_class,
+            )
+
+        @jax.jit
+        def pointseg_probs(xyz, feats):
+            pyramid = build_pyramid_batch(
+                xyz[None], pcfg.k_n, pcfg.sub_sampling_ratio
+            )
+            logits = self.pointseg_model.apply(
+                self.pointseg_variables,
+                jnp.concatenate([xyz, feats], -1)[None],
+                pyramid,
+                train=False,
+            )
+            return jax.nn.softmax(logits[0], axis=-1)
+
+        self._attention_probs = attention_probs
+        self._pointseg_probs = pointseg_probs
+
+    # -------------------------------------------------------------- #
+
+    def attention_map(self, modalities: np.ndarray) -> np.ndarray:
+        """Stage 1: (C, X, Y, Z) -> per-voxel salient probability (X, Y, Z).
+
+        The saliency net sees [z, y, x] slabs (the reference's nifty
+        transpose, utils.py:295-311); output is transposed back.
+        """
+        vol = np.transpose(np.asarray(modalities), (3, 2, 1, 0))  # (Z,Y,X,C)
+        probs = np.asarray(self._attention_probs(jnp.asarray(vol)))
+        return np.transpose(probs[..., 1], (2, 1, 0))             # (X, Y, Z)
+
+    def binary_map(self, modalities: np.ndarray) -> np.ndarray:
+        """Stage 1+threshold (reference utils/genBinaryMap.py:67-79)."""
+        return (self.attention_map(modalities) >= self.threshold).astype(
+            np.uint8
+        )
+
+    def segment_points(self, cloud: PointCloud) -> np.ndarray:
+        """Stage 3 on an already-sampled fixed-budget cloud -> (N, C) probs."""
+        return np.asarray(
+            self._pointseg_probs(
+                jnp.asarray(cloud.xyz), jnp.asarray(cloud.features)
+            )
+        )
+
+    def segment_volume(
+        self,
+        modalities: np.ndarray,             # (C, X, Y, Z), normalized
+        mask: Optional[np.ndarray] = None,  # precomputed binary map
+        brats_labels: bool = True,
+    ) -> np.ndarray:
+        """Full pipeline -> (X, Y, Z) label volume."""
+        modalities = np.asarray(modalities, np.float32)
+        if mask is None:
+            mask = self.binary_map(modalities)
+
+        cloud = volume_to_points(modalities)
+        fg = mask[
+            cloud.xyz_origin[:, 0], cloud.xyz_origin[:, 1], cloud.xyz_origin[:, 2]
+        ]
+        sampled = sample_cloud(
+            cloud, self.pcfg.num_points, self._rng, foreground=fg
+        )
+        probs = self.segment_points(sampled)
+
+        x, y, z = modalities.shape[1:]
+        vol = np.asarray(
+            scatter_probs_to_volume(
+                jnp.asarray(probs), jnp.asarray(sampled.xyz_origin), (z, y, x)
+            )
+        )                                      # (Z, Y, X, C)
+        labels = vol.argmax(-1).astype(np.uint8)
+        if brats_labels:
+            labels[labels == 3] = 4            # reference genSegmentationBraTS
+        return np.transpose(labels, (2, 1, 0))  # (X, Y, Z)

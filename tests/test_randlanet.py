@@ -1,0 +1,149 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointunet_tpu.core import brats_pointseg_config, pancreas_pointseg_config
+from pointunet_tpu.models import RandLANet, init_randlanet, weighted_cross_entropy
+from pointunet_tpu.ops import build_pyramid_batch
+
+TINY = brats_pointseg_config(num_points=512, k_n=8)
+
+
+def _inputs(cfg, batch=1, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(0, 1, (batch, cfg.num_points, 3)).astype(np.float32)
+    mods = rng.standard_normal((batch, cfg.num_points, cfg.num_features)).astype(
+        np.float32
+    )
+    feats = np.concatenate([xyz, mods], axis=-1)
+    pyr = build_pyramid_batch(jnp.asarray(xyz), cfg.k_n, cfg.sub_sampling_ratio)
+    return jnp.asarray(feats), pyr
+
+
+def test_forward_shapes():
+    model, variables = init_randlanet(
+        jax.random.PRNGKey(0), TINY, num_points=TINY.num_points
+    )
+    feats, pyr = _inputs(TINY)
+    logits = model.apply(variables, feats, pyr, train=False)
+    assert logits.shape == (1, TINY.num_points, TINY.num_classes)
+    assert logits.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_forward_pancreas_shapes():
+    cfg = pancreas_pointseg_config(num_points=512, k_n=4)
+    model, variables = init_randlanet(jax.random.PRNGKey(0), cfg, num_points=512)
+    feats, pyr = _inputs(cfg)
+    logits = model.apply(variables, feats, pyr, train=False)
+    assert logits.shape == (1, 512, 2)
+
+
+def test_train_mode_updates_batch_stats():
+    model, variables = init_randlanet(jax.random.PRNGKey(0), TINY)
+    feats, pyr = _inputs(TINY)
+    logits, mutated = model.apply(
+        variables,
+        feats,
+        pyr,
+        train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert logits.shape == (1, TINY.num_points, TINY.num_classes)
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_overfit_toy_cloud():
+    """The network must be able to memorize a tiny labeled cloud."""
+    import optax
+
+    # fast-moving BN running stats so eval reflects the 60-step fit
+    cfg = dataclasses.replace(TINY, num_points=512, k_n=8, bn_momentum=0.5)
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(0, 1, (1, 512, 3)).astype(np.float32)
+    # labels correlated with an input feature so the task is learnable
+    labels = (xyz[..., 0] * 4).astype(np.int32).clip(0, 3)
+    mods = np.repeat(labels[..., None], cfg.num_features, -1).astype(np.float32)
+    feats = jnp.asarray(np.concatenate([xyz, mods], -1))
+    pyr = build_pyramid_batch(jnp.asarray(xyz), cfg.k_n, cfg.sub_sampling_ratio)
+    labels = jnp.asarray(labels)
+
+    model, variables = init_randlanet(jax.random.PRNGKey(0), cfg, num_points=512)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    weights = cfg.class_weights()
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, key):
+        def loss_fn(p):
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                feats,
+                pyr,
+                train=True,
+                rngs={"dropout": key},
+                mutable=["batch_stats"],
+            )
+            loss = weighted_cross_entropy(
+                logits, labels, weights, cfg.num_classes
+            )
+            return loss, mutated["batch_stats"]
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, bs, opt_state, loss
+
+    losses = []
+    key = jax.random.PRNGKey(7)
+    for _ in range(60):
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, sub
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+    # memorization check in train-mode normalization (batch statistics):
+    # after only 60 steps the BN running averages haven't converged, so
+    # eval-mode accuracy is not meaningful at this horizon (the reference
+    # trains ~30k steps before its eval path is exercised).
+    logits, _ = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        feats,
+        pyr,
+        train=True,
+        rngs={"dropout": jax.random.PRNGKey(123)},
+        mutable=["batch_stats"],
+    )
+    acc = (np.argmax(np.asarray(logits), -1) == np.asarray(labels)).mean()
+    assert acc > 0.8, acc
+
+    # eval path stays finite and runs end-to-end
+    ev = model.apply(
+        {"params": params, "batch_stats": batch_stats}, feats, pyr, train=False
+    )
+    assert np.isfinite(np.asarray(ev)).all()
+
+
+def test_losses_basic():
+    logits = jnp.asarray([[10.0, -10.0], [-10.0, 10.0]])
+    labels = jnp.asarray([0, 1])
+    loss = weighted_cross_entropy(logits, labels, (1.0, 1.0), 2)
+    assert float(loss) < 1e-3
+    loss_bad = weighted_cross_entropy(logits, 1 - labels, (1.0, 1.0), 2)
+    assert float(loss_bad) > 1.0
+
+
+def test_ignored_labels_masked():
+    logits = jnp.asarray([[10.0, -10.0], [-10.0, 10.0], [0.0, 0.0]])
+    labels = jnp.asarray([1, 2, 0])  # 0 is ignored; others shift down by 1
+    loss = weighted_cross_entropy(logits, labels, (1.0, 1.0), 2, ignored=(0,))
+    assert float(loss) < 1e-3

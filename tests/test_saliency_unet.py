@@ -1,0 +1,74 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointunet_tpu.core import brats_saliency_config, pancreas_saliency_config
+from pointunet_tpu.models.saliency_unet import (
+    UNet3D,
+    SaliencyUNet,
+    init_saliency_unet,
+)
+from pointunet_tpu.models import saliency_dice_loss
+
+TINY_PATCH = (16, 32, 32)
+
+
+def test_saliency_unet_shapes():
+    cfg = pancreas_saliency_config(patch_size=TINY_PATCH, base_filter=4)
+    model, variables = init_saliency_unet(jax.random.PRNGKey(0), cfg)
+    x = jnp.ones((1,) + TINY_PATCH + (cfg.in_channels,))
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (1,) + TINY_PATCH + (cfg.num_class,)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_saliency_unet_brats_channels():
+    cfg = brats_saliency_config(patch_size=TINY_PATCH, base_filter=4)
+    model, variables = init_saliency_unet(jax.random.PRNGKey(0), cfg)
+    x = jnp.ones((1,) + TINY_PATCH + (4,))
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (1,) + TINY_PATCH + (2,)
+
+
+def test_saliency_no_attention_toggles():
+    cfg = pancreas_saliency_config(
+        patch_size=TINY_PATCH, base_filter=4, ca_attention=False,
+        sa_attention=False,
+    )
+    model, variables = init_saliency_unet(jax.random.PRNGKey(0), cfg)
+    x = jnp.ones((1,) + TINY_PATCH + (1,))
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (1,) + TINY_PATCH + (2,)
+
+
+def test_plain_unet3d_deep_supervision():
+    cfg = pancreas_saliency_config(patch_size=TINY_PATCH, base_filter=4)
+    model, variables = init_saliency_unet(
+        jax.random.PRNGKey(0), cfg, attention=False
+    )
+    x = jnp.ones((1,) + TINY_PATCH + (1,))
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (1,) + TINY_PATCH + (2,)
+
+
+def test_saliency_dice_loss_perfect_prediction():
+    labels = np.zeros((1, 4, 4, 4), np.int32)
+    labels[0, 1:3, 1:3, 1:3] = 1
+    logits = np.where(
+        (labels == 1)[..., None],
+        np.array([-20.0, 20.0]),
+        np.array([20.0, -20.0]),
+    ).astype(np.float32)
+    weight = np.ones_like(labels, np.float32)
+    loss = saliency_dice_loss(
+        jnp.asarray(logits), jnp.asarray(weight), jnp.asarray(labels)
+    )
+    assert float(loss) < 1e-3
+
+    # inverted prediction is maximally wrong
+    loss_bad = saliency_dice_loss(
+        jnp.asarray(-logits), jnp.asarray(weight), jnp.asarray(labels)
+    )
+    assert float(loss_bad) > 0.9

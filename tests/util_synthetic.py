@@ -1,0 +1,62 @@
+"""Synthetic fixtures: tiny BraTS-like cases and prepared point-cloud trees."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pointunet_tpu.data import nifti, write_ply
+
+BRATS_MODALITIES = ("t1ce", "t1", "flair", "t2")
+
+
+def make_brats_case(root, case_id, shape=(32, 32, 20), rng=None):
+    """Write <root>/<case_id>/<case_id>_{mod,seg}.nii.gz with a bright
+    'tumor' blob."""
+    rng = rng or np.random.default_rng(0)
+    case_dir = os.path.join(root, case_id)
+    os.makedirs(case_dir, exist_ok=True)
+    x, y, z = shape
+    cx, cy, cz = x // 2, y // 2, z // 2
+    seg = np.zeros(shape, np.uint8)
+    seg[cx - 3 : cx + 3, cy - 3 : cy + 3, cz - 2 : cz + 2] = 2
+    seg[cx - 1 : cx + 1, cy - 1 : cy + 1, cz - 1 : cz + 1] = 4
+    brain = np.zeros(shape, bool)
+    brain[2:-2, 2:-2, 1:-1] = True
+    for mod in BRATS_MODALITIES:
+        vol = np.zeros(shape, np.float32)
+        vol[brain] = rng.uniform(50, 100, brain.sum())
+        vol[seg > 0] += 100.0
+        nifti.save(
+            vol, os.path.join(case_dir, f"{case_id}_{mod}.nii.gz")
+        )
+    nifti.save(seg, os.path.join(case_dir, f"{case_id}_seg.nii.gz"))
+    return case_dir, seg
+
+
+def make_point_tree(root, case_ids, n_points_full=3000, rng=None):
+    """Write a prepared point-cloud tree (original_ply + input0.01) with
+    synthetic clouds carrying 4 feature channels + labels."""
+    rng = rng or np.random.default_rng(0)
+    orig = os.path.join(root, "original_ply")
+    sub = os.path.join(root, "input0.01")
+    os.makedirs(orig, exist_ok=True)
+    os.makedirs(sub, exist_ok=True)
+    for case_id in case_ids:
+        coords = np.unique(
+            rng.integers(0, 32, (n_points_full * 2, 3)), axis=0
+        )[:n_points_full].astype(np.int32)
+        n = len(coords)
+        xyz = coords.astype(np.float32) / 32.0
+        labels = (
+            (np.abs(coords - 16).max(axis=1) < 4)
+        ).astype(np.uint8) * rng.integers(1, 4, n).astype(np.uint8)
+        feats = rng.standard_normal((n, 4)).astype(np.float32)
+        feats[labels > 0] += 2.0
+        write_ply(
+            os.path.join(orig, f"{case_id}.ply"),
+            (xyz, feats, labels),
+            ["x", "y", "z", "t1ce", "t1", "flair", "t2", "class"],
+        )
+        np.save(os.path.join(sub, f"{case_id}_xyz_origin.npy"), coords)
+    return root
