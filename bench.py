@@ -41,12 +41,20 @@ def main():
         jax.random.PRNGKey(0), cfg, num_points=n
     )
 
+    # two XLA programs: fusing the KNN pyramid with the network makes XLA
+    # pick gather-hostile layouts (~10x slower at 365k pts; measured v5e).
     @jax.jit
-    def volume_step(xyz, feats, origin):
-        pyramid = build_pyramid_batch(xyz, cfg.k_n, cfg.sub_sampling_ratio)
+    def pyramid_fn(xyz):
+        return build_pyramid_batch(xyz, cfg.k_n, cfg.sub_sampling_ratio)
+
+    @jax.jit
+    def forward_scatter(pyramid, feats, origin):
         logits = model.apply(variables, feats, pyramid, train=False)
         probs = jax.nn.softmax(logits[0], axis=-1)
         return scatter_probs_to_volume(probs, origin, (155, 240, 240))
+
+    def volume_step(xyz, feats, origin):
+        return forward_scatter(pyramid_fn(xyz), feats, origin)
 
     rng = np.random.default_rng(0)
     xyz = jnp.asarray(rng.uniform(0, 1, (1, n, 3)).astype(np.float32))

@@ -36,6 +36,7 @@ class Nifti1Image:
     affine: np.ndarray = field(
         default_factory=lambda: np.eye(4, dtype=np.float32)
     )
+    spacing: tuple = (1.0, 1.0, 1.0)   # voxel size per spatial axis (mm)
 
     @property
     def shape(self):
@@ -82,7 +83,9 @@ def load(path: str) -> Nifti1Image:
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         data = data * slope + scl_inter
-    return Nifti1Image(np.ascontiguousarray(data), affine)
+    pixdim = struct.unpack("<8f", hdr[76:108])
+    spacing = tuple(abs(p) or 1.0 for p in pixdim[1:4])
+    return Nifti1Image(np.ascontiguousarray(data), affine, spacing)
 
 
 def save(img: Nifti1Image | np.ndarray, path: str, affine=None) -> None:
@@ -108,8 +111,9 @@ def save(img: Nifti1Image | np.ndarray, path: str, affine=None) -> None:
     struct.pack_into("<8h", hdr, 40, *dims)
     struct.pack_into("<h", hdr, 70, code)
     struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)  # bitpix
-    # pixdim: qfac + unit spacings
-    struct.pack_into("<8f", hdr, 76, 1.0, *([1.0] * 7))
+    # pixdim: qfac + spatial spacings
+    sp = tuple(img.spacing) + (1.0,) * (7 - len(img.spacing))
+    struct.pack_into("<8f", hdr, 76, 1.0, *sp)
     struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
     struct.pack_into("<f", hdr, 112, 1.0)    # scl_slope
     struct.pack_into("<f", hdr, 116, 0.0)    # scl_inter

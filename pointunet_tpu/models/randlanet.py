@@ -230,15 +230,28 @@ def init_randlanet(
     num_points: Optional[int] = None,
     axis_name: Optional[str] = None,
 ):
-    """Initialize variables with dummy inputs of the configured shapes."""
+    """Initialize variables (jitted, on a minimal cloud).
+
+    Parameter shapes depend only on channel dims, never on the point count,
+    so init runs at the smallest point count the decimation ratios allow —
+    at 365k-scale an eager full-size init would dispatch hundreds of
+    separate ops (catastrophic under remote compilation).
+    """
+    import math
+
     from ..ops.pyramid import build_pyramid_batch
 
-    n = num_points or config.num_points
     model = RandLANet(config, axis_name=axis_name)
-    xyz = jnp.zeros((1, n, 3), jnp.float32)
-    feats = jnp.zeros((1, n, 3 + config.num_features), jnp.float32)
+    total_ratio = math.prod(config.sub_sampling_ratio)
+    n_init = min(num_points or config.num_points, 4 * total_ratio)
+    xyz = jnp.zeros((1, n_init, 3), jnp.float32)
+    feats = jnp.zeros((1, n_init, 3 + config.num_features), jnp.float32)
     pyr = build_pyramid_batch(xyz, config.k_n, config.sub_sampling_ratio)
-    variables = model.init(
-        {"params": rng, "dropout": rng}, feats, pyr, train=False
-    )
-    return model, variables
+
+    @jax.jit
+    def _init(rng, feats, pyr):
+        return model.init(
+            {"params": rng, "dropout": rng}, feats, pyr, train=False
+        )
+
+    return model, _init(rng, feats, pyr)

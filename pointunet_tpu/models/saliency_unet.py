@@ -271,10 +271,20 @@ def init_saliency_unet(
     axis_name: Optional[str] = None,
     attention: bool = True,
 ):
-    """Initialize with a dummy patch of the configured size."""
-    patch = tuple(patch_size or config.patch_size)
+    """Initialize variables (jitted, on a minimal patch).
+
+    Conv parameter shapes don't depend on spatial extent, so init runs at
+    the smallest patch the depth-5 downsampling allows (16 per axis, with
+    32 in-plane so the k=9 attention convs stay sensible) rather than the
+    full (64, 160, 160) training patch.
+    """
+    patch = tuple(patch_size) if patch_size is not None else (16, 32, 32)
     cls = SaliencyUNet if attention else UNet3D
     model = cls(config, axis_name=axis_name)
     x = jnp.zeros((1,) + patch + (config.in_channels,), jnp.float32)
-    variables = model.init({"params": rng}, x, train=False)
-    return model, variables
+
+    @jax.jit
+    def _init(rng, x):
+        return model.init({"params": rng}, x, train=False)
+
+    return model, _init(rng, x)

@@ -21,6 +21,19 @@ import jax
 import jax.numpy as jnp
 
 from .knn import knn
+from .knn_window import knn_cell_window
+
+# Above this support size, use the gather-free cell-window search
+# (ops/knn_window.py): brute force is O(Ns * Nq); the windowed grid is
+# HBM-bandwidth bound. At the BraTS scale this is the difference between
+# seconds and milliseconds per volume.
+GRID_THRESHOLD = 16_384
+
+
+def _search(support, query, k, exact):
+    if exact or support.shape[0] <= GRID_THRESHOLD:
+        return knn(support, query, k)
+    return knn_cell_window(support, query, k)
 
 
 class Pyramid(NamedTuple):
@@ -30,25 +43,32 @@ class Pyramid(NamedTuple):
     interp_idx: Tuple[jax.Array, ...] # (N_i, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ratios"))
+@functools.partial(jax.jit, static_argnames=("k", "ratios", "exact"))
 def build_pyramid(
-    xyz: jax.Array, k: int, ratios: Tuple[int, ...]
+    xyz: jax.Array, k: int, ratios: Tuple[int, ...], exact: bool = False
 ) -> Pyramid:
-    """Build the decimation pyramid for one (pre-shuffled) cloud (N, 3)."""
+    """Build the decimation pyramid for one (pre-shuffled) cloud (N, 3).
+
+    exact=True forces tiled brute-force KNN at every level (testing /
+    parity studies); the default uses grid-bucketed search for levels
+    above GRID_THRESHOLD points.
+    """
     xyzs, neighs, subs, ups = [], [], [], []
     cur = xyz.astype(jnp.float32)
     for r in ratios:
         n_sub = cur.shape[0] // r
-        neigh = knn(cur, cur, k)
+        neigh = _search(cur, cur, k, exact)
         sub_points = cur[:n_sub]
         xyzs.append(cur)
         neighs.append(neigh)
         subs.append(neigh[:n_sub])
-        ups.append(knn(sub_points, cur, 1))
+        ups.append(_search(sub_points, cur, 1, exact))
         cur = sub_points
     return Pyramid(tuple(xyzs), tuple(neighs), tuple(subs), tuple(ups))
 
 
-def build_pyramid_batch(xyz: jax.Array, k: int, ratios: Tuple[int, ...]) -> Pyramid:
+def build_pyramid_batch(
+    xyz: jax.Array, k: int, ratios: Tuple[int, ...], exact: bool = False
+) -> Pyramid:
     """Batched pyramid build: (B, N, 3) -> Pyramid with leading batch dims."""
-    return jax.vmap(lambda x: build_pyramid(x, k, ratios))(xyz)
+    return jax.vmap(lambda x: build_pyramid(x, k, ratios, exact))(xyz)

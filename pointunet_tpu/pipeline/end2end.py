@@ -75,11 +75,16 @@ class PointUnetPipeline:
                 scfg.num_class,
             )
 
+        # pyramid and network are separate XLA programs (layout cliff when
+        # fused — see train/pointseg.py:_build_steps); both device-resident.
         @jax.jit
-        def pointseg_probs(xyz, feats):
-            pyramid = build_pyramid_batch(
+        def pyramid_fn(xyz):
+            return build_pyramid_batch(
                 xyz[None], pcfg.k_n, pcfg.sub_sampling_ratio
             )
+
+        @jax.jit
+        def pointseg_forward(pyramid, xyz, feats):
             logits = self.pointseg_model.apply(
                 self.pointseg_variables,
                 jnp.concatenate([xyz, feats], -1)[None],
@@ -87,6 +92,9 @@ class PointUnetPipeline:
                 train=False,
             )
             return jax.nn.softmax(logits[0], axis=-1)
+
+        def pointseg_probs(xyz, feats):
+            return pointseg_forward(pyramid_fn(xyz), xyz, feats)
 
         self._attention_probs = attention_probs
         self._pointseg_probs = pointseg_probs
@@ -122,6 +130,7 @@ class PointUnetPipeline:
         modalities: np.ndarray,             # (C, X, Y, Z), normalized
         mask: Optional[np.ndarray] = None,  # precomputed binary map
         brats_labels: bool = True,
+        postprocess: bool = False,
     ) -> np.ndarray:
         """Full pipeline -> (X, Y, Z) label volume."""
         modalities = np.asarray(modalities, np.float32)
@@ -146,4 +155,9 @@ class PointUnetPipeline:
         labels = vol.argmax(-1).astype(np.uint8)
         if brats_labels:
             labels[labels == 3] = 4            # reference genSegmentationBraTS
-        return np.transpose(labels, (2, 1, 0))  # (X, Y, Z)
+        labels = np.transpose(labels, (2, 1, 0))  # (X, Y, Z)
+        if postprocess and brats_labels:
+            from .postprocess import postprocess_brats
+
+            labels = postprocess_brats(labels)
+        return labels

@@ -82,10 +82,7 @@ class PointSegTrainer:
             params, batch_stats, opt_state, jnp.zeros((), jnp.int32), rng
         )
 
-    def _loss_fn(self, params, batch_stats, rng, xyz, feats, labels):
-        pyramid = build_pyramid_batch(
-            xyz, self.cfg.k_n, self.cfg.sub_sampling_ratio
-        )
+    def _loss_fn(self, params, batch_stats, rng, pyramid, feats, labels):
         logits, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             feats,
@@ -107,12 +104,23 @@ class PointSegTrainer:
         return loss, (mutated["batch_stats"], acc)
 
     def _build_steps(self):
-        def train_step(state: TrainState, xyz, feats, labels):
+        # The pyramid (KNN/top-k/sort) is dispatched as its own XLA program:
+        # fusing it with the network makes XLA pick layouts that slow the
+        # model's gathers ~10x at 365k points (measured on v5e). Both jits
+        # stay device-resident and async, so the split costs nothing.
+        def pyramid_fn(xyz):
+            return build_pyramid_batch(
+                xyz, self.cfg.k_n, self.cfg.sub_sampling_ratio
+            )
+
+        self.pyramid_fn = jax.jit(pyramid_fn)
+
+        def train_core(state: TrainState, pyramid, feats, labels):
             rng, dropout_rng = jax.random.split(state.rng)
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (loss, (batch_stats, acc)), grads = grad_fn(
                 state.params, state.batch_stats, dropout_rng,
-                xyz, feats, labels,
+                pyramid, feats, labels,
             )
             updates, opt_state = self.tx.update(grads, state.opt_state)
             params = optax.apply_updates(state.params, updates)
@@ -121,10 +129,7 @@ class PointSegTrainer:
             )
             return new_state, {"loss": loss, "acc": acc}
 
-        def eval_step(state: TrainState, xyz, feats, labels):
-            pyramid = build_pyramid_batch(
-                xyz, self.cfg.k_n, self.cfg.sub_sampling_ratio
-            )
+        def eval_core(state: TrainState, pyramid, feats):
             logits = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 feats,
@@ -134,8 +139,16 @@ class PointSegTrainer:
             return jax.nn.softmax(logits, axis=-1)
 
         donate = (0,) if self.tcfg.donate_state else ()
-        self.train_step = jax.jit(train_step, donate_argnums=donate)
-        self.eval_step = jax.jit(eval_step)
+        self._train_core = jax.jit(train_core, donate_argnums=donate)
+        self._eval_core = jax.jit(eval_core)
+
+    def train_step(self, state: TrainState, xyz, feats, labels):
+        pyramid = self.pyramid_fn(xyz)
+        return self._train_core(state, pyramid, feats, labels)
+
+    def eval_step(self, state: TrainState, xyz, feats, labels=None):
+        pyramid = self.pyramid_fn(xyz)
+        return self._eval_core(state, pyramid, feats)
 
     # ------------------------------------------------------------------ #
 

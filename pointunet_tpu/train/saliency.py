@@ -161,6 +161,48 @@ class SaliencyTrainer:
         )
         return np.asarray(fn(volume_dhwc))
 
+    # view transposes (reference utils.transpose_volumes + the inverse
+    # transposes in segment_one_image, eval.py:370-378)
+    _DIR_FWD = {"axial": (0, 1, 2), "sagittal": (2, 0, 1), "coronal": (1, 0, 2)}
+    _DIR_INV = {"axial": (0, 1, 2), "sagittal": (1, 2, 0), "coronal": (1, 0, 2)}
+
+    def predict_volume_tta(
+        self,
+        state: SaliencyTrainState,
+        volume_dhwc,
+        direction: str = "axial",
+        test_flip: bool = False,
+    ) -> np.ndarray:
+        """predict_volume with view transposition and optional flip TTA
+        (reference DIRECTION / TEST_FLIP, eval.py:355-411)."""
+        vol = np.asarray(volume_dhwc)
+        fwd = self._DIR_FWD[direction] + (3,)
+        inv = self._DIR_INV[direction] + (3,)
+        probs = self.predict_volume(
+            state, jnp.asarray(np.transpose(vol, fwd))
+        ).transpose(inv)
+        if test_flip:
+            flipped = self.predict_volume(
+                state, jnp.asarray(np.transpose(vol[:, :, ::-1], fwd))
+            ).transpose(inv)[:, :, ::-1]
+            probs = 0.5 * (probs + flipped)
+        return probs
+
+    def predict_volume_multiview(
+        self, states, volume_dhwc, test_flip: bool = False
+    ) -> np.ndarray:
+        """Average axial/sagittal/coronal model predictions (reference
+        MULTI_VIEW path, eval.py:301-315). ``states`` is a list of three
+        train states in that direction order."""
+        directions = ("axial", "sagittal", "coronal")
+        probs = None
+        for state, direction in zip(states, directions):
+            p = self.predict_volume_tta(
+                state, volume_dhwc, direction, test_flip
+            )
+            probs = p if probs is None else probs + p
+        return probs / len(states)
+
     def evaluate(
         self, state, records, log: Callable = print
     ) -> float:
