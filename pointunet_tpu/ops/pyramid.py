@@ -23,16 +23,23 @@ import jax.numpy as jnp
 from .knn import knn
 from .knn_window import knn_cell_window
 
-# Above this support size, use the gather-free cell-window search
-# (ops/knn_window.py): brute force is O(Ns * Nq); the windowed grid is
-# HBM-bandwidth bound. At the BraTS scale this is the difference between
-# seconds and milliseconds per volume.
+# Above this support size, use the cell-window grid search: a fused Pallas
+# kernel on TPU (ops/knn_pallas.py), the batched XLA formulation elsewhere
+# (ops/knn_window.py). Brute force is O(Ns * Nq); the windowed grid is
+# HBM-bandwidth bound — at the BraTS scale the difference between seconds
+# and milliseconds per volume.
 GRID_THRESHOLD = 16_384
 
 
 def _search(support, query, k, exact):
     if exact or support.shape[0] <= GRID_THRESHOLD:
         return knn(support, query, k)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from .knn_pallas import knn_pallas
+
+        return knn_pallas(support, query, k)
     return knn_cell_window(support, query, k)
 
 
