@@ -61,6 +61,17 @@ def brats_pointseg_config(**overrides) -> PointSegConfig:
     return dataclasses.replace(PointSegConfig(), **overrides)
 
 
+def block64_pointseg_config(**overrides) -> PointSegConfig:
+    """BraTS_Block64 variant: 64^3 block clouds with empirical class counts
+    (reference helper_tool.py:179)."""
+    base = PointSegConfig(
+        name="BraTS_Block64",
+        num_points=180_000,
+        class_counts=(1403.0, 22.0, 80.0, 11.0),
+    )
+    return dataclasses.replace(base, **overrides)
+
+
 def pancreas_pointseg_config(**overrides) -> PointSegConfig:
     """ConfigPancreas (reference helper_tool.py:52-75)."""
     base = PointSegConfig(

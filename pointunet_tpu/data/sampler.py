@@ -87,3 +87,22 @@ def patch_batches(
             np.stack(weights),
             np.stack(labels),
         )
+
+
+def mixup_batches(batch_iter, num_classes: int, rng, alpha: float = 0.2):
+    """Beta-mixup over consecutive patch batches (reference utils.py:511-541):
+    images mix linearly; labels become mixed one-hot targets."""
+    prev = None
+    for images, weights, labels in batch_iter:
+        onehot = np.eye(num_classes, dtype=np.float32)[labels]
+        if prev is None:
+            prev = (images, weights, onehot)
+            continue
+        lam = float(rng.beta(alpha, alpha))
+        pi, pw, po = prev
+        yield (
+            lam * images + (1 - lam) * pi,
+            np.maximum(weights, pw),
+            lam * onehot + (1 - lam) * po,
+        )
+        prev = (images, weights, onehot)

@@ -132,3 +132,48 @@ def saliency_dice_loss(
     weight = weight.reshape(b, -1)
     per_sample = jax.vmap(soft_dice)(probs, labels, weight)
     return jnp.mean(per_sample)
+
+
+def point_dice_weighted(
+    logits: jax.Array,
+    labels: jax.Array,
+    class_weights: Sequence[float] = (4.0, 1.0, 1.0, 1.0),
+) -> jax.Array:
+    """Class-weighted dice over raw logits with the reference's hardcoded
+    [4,1,1,1] weights (reference get_loss_dice_weight, RandLANet.py:296-312)."""
+    num_classes = len(class_weights)
+    onehot = jax.nn.one_hot(labels.reshape(-1), num_classes, dtype=jnp.float32)
+    logits = logits.reshape(-1, num_classes)
+    w = jnp.asarray(class_weights, jnp.float32)[None, :]
+    num = 2.0 * jnp.sum(w * onehot * logits, axis=0)
+    den = jnp.sum(w * logits * logits, axis=0) + jnp.sum(onehot, axis=0)
+    return 1.0 - jnp.mean(num / (den + 1e-5))
+
+
+def soft_dice_mixup(
+    probs: jax.Array,         # (V, C) softmax probabilities
+    target: jax.Array,        # (V, C) soft (mixed) one-hot target
+    weight_map: Optional[jax.Array] = None,
+) -> jax.Array:
+    """V-Net dice against a soft target (reference dice_mixup,
+    model.py:550-590)."""
+    if weight_map is not None:
+        w = weight_map.reshape(-1, 1).astype(probs.dtype)
+    else:
+        w = jnp.ones((probs.shape[0], 1), probs.dtype)
+    num = 2.0 * jnp.sum(w * target * probs, axis=0)
+    den = jnp.sum(w * probs * probs, axis=0) + jnp.sum(target * w, axis=0)
+    return 1.0 - jnp.mean(num / (den + 1e-5))
+
+
+def saliency_dice_loss_mixup(
+    logits: jax.Array,        # (B, D, H, W, C)
+    weight: jax.Array,        # (B, D, H, W)
+    target: jax.Array,        # (B, D, H, W, C) mixed one-hot
+) -> jax.Array:
+    """Batch-wise mixup dice (reference Loss with MIXUP, model.py:592-618)."""
+    b, c = logits.shape[0], logits.shape[-1]
+    probs = jax.nn.softmax(logits.reshape(b, -1, c), axis=-1)
+    target = target.reshape(b, -1, c)
+    weight = weight.reshape(b, -1)
+    return jnp.mean(jax.vmap(soft_dice_mixup)(probs, target, weight))

@@ -47,16 +47,19 @@ class SharedMLP(nn.Module):
     bn: bool = True
     activation: bool = True
     momentum: float = 0.99
+    dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Dense(self.features, kernel_init=_CONV_INIT)(x)
+        x = nn.Dense(self.features, kernel_init=_CONV_INIT, dtype=self.dtype)(x)
         if self.bn:
+            # normalization statistics stay f32 (force_float32_reductions)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.momentum,
                 epsilon=1e-6,
+                dtype=self.dtype,
                 axis_name=self.axis_name if train else None,
             )(x)
         if self.activation:
@@ -72,16 +75,19 @@ class AttPooling(nn.Module):
 
     d_out: int
     momentum: float = 0.99
+    dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, feature_set, train: bool = False):
         # feature_set: (B, N, K, d)
         d = feature_set.shape[-1]
-        att = nn.Dense(d, use_bias=False, kernel_init=_DENSE_INIT)(feature_set)
+        att = nn.Dense(
+            d, use_bias=False, kernel_init=_DENSE_INIT, dtype=self.dtype
+        )(feature_set)
         scores = jax.nn.softmax(att, axis=-2)
         agg = jnp.sum(scores * feature_set, axis=-2)        # (B, N, d)
-        return SharedMLP(self.d_out, momentum=self.momentum, axis_name=self.axis_name)(agg, train)
+        return SharedMLP(self.d_out, momentum=self.momentum, dtype=self.dtype, axis_name=self.axis_name)(agg, train)
 
 
 class LocalFeatureAggregation(nn.Module):
@@ -90,6 +96,7 @@ class LocalFeatureAggregation(nn.Module):
 
     d_out: int
     momentum: float = 0.99
+    dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -99,21 +106,25 @@ class LocalFeatureAggregation(nn.Module):
 
         f_xyz = jax.vmap(relative_pos_encoding)(xyz, neigh_idx)  # (B,N,K,10)
         f_xyz = SharedMLP(
-            self.d_out // 2, momentum=self.momentum, axis_name=self.axis_name
+            self.d_out // 2, momentum=self.momentum, dtype=self.dtype,
+            axis_name=self.axis_name,
         )(f_xyz, train)
         f_neigh = gather(feature, neigh_idx)                 # (B,N,K,d/2)
         f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)
         f_agg = AttPooling(
-            self.d_out // 2, momentum=self.momentum, axis_name=self.axis_name
+            self.d_out // 2, momentum=self.momentum, dtype=self.dtype,
+            axis_name=self.axis_name,
         )(f_concat, train)
 
         f_xyz = SharedMLP(
-            self.d_out // 2, momentum=self.momentum, axis_name=self.axis_name
+            self.d_out // 2, momentum=self.momentum, dtype=self.dtype,
+            axis_name=self.axis_name,
         )(f_xyz, train)
         f_neigh = gather(f_agg, neigh_idx)                   # (B,N,K,d/2)
         f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)
         return AttPooling(
-            self.d_out, momentum=self.momentum, axis_name=self.axis_name
+            self.d_out, momentum=self.momentum, dtype=self.dtype,
+            axis_name=self.axis_name,
         )(f_concat, train)
 
 
@@ -123,23 +134,26 @@ class DilatedResBlock(nn.Module):
 
     d_out: int
     momentum: float = 0.99
+    dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, xyz, feature, neigh_idx, train: bool = False):
-        f_pc = SharedMLP(self.d_out // 2, momentum=self.momentum, axis_name=self.axis_name)(
-            feature, train
-        )
+        f_pc = SharedMLP(
+            self.d_out // 2, momentum=self.momentum, dtype=self.dtype,
+            axis_name=self.axis_name,
+        )(feature, train)
         f_pc = LocalFeatureAggregation(
-            self.d_out, momentum=self.momentum, axis_name=self.axis_name
+            self.d_out, momentum=self.momentum, dtype=self.dtype,
+            axis_name=self.axis_name,
         )(xyz, f_pc, neigh_idx, train)
         f_pc = SharedMLP(
             2 * self.d_out, activation=False, momentum=self.momentum,
-            axis_name=self.axis_name,
+            dtype=self.dtype, axis_name=self.axis_name,
         )(f_pc, train)
         shortcut = SharedMLP(
             2 * self.d_out, activation=False, momentum=self.momentum,
-            axis_name=self.axis_name,
+            dtype=self.dtype, axis_name=self.axis_name,
         )(feature, train)
         return nn.leaky_relu(f_pc + shortcut, negative_slope=0.2)
 
@@ -174,15 +188,15 @@ class RandLANet(nn.Module):
     ) -> jax.Array:
         cfg = self.config
         ax = self.axis_name
-        compute_dtype = jnp.bfloat16 if cfg.use_bfloat16 else jnp.float32
-        features = features.astype(compute_dtype)
+        dt = jnp.bfloat16 if cfg.use_bfloat16 else None
 
         # fc0: tf.layers.dense + BN + leaky (reference RandLANet.py:114-116)
-        feature = nn.Dense(8, kernel_init=_DENSE_INIT)(features)
+        feature = nn.Dense(8, kernel_init=_DENSE_INIT, dtype=dt)(features)
         feature = nn.BatchNorm(
             use_running_average=not train,
             momentum=cfg.bn_momentum,
             epsilon=1e-6,
+            dtype=dt,
             axis_name=ax if train else None,
         )(feature)
         feature = nn.leaky_relu(feature, negative_slope=0.2)
@@ -191,7 +205,7 @@ class RandLANet(nn.Module):
         skips = []
         for i in range(cfg.num_layers):
             f_enc = DilatedResBlock(
-                cfg.d_out[i], momentum=cfg.bn_momentum, axis_name=ax
+                cfg.d_out[i], momentum=cfg.bn_momentum, dtype=dt, axis_name=ax
             )(
                 pyramid.xyz[i], feature, pyramid.neigh_idx[i], train
             )
@@ -203,7 +217,8 @@ class RandLANet(nn.Module):
 
         # Bottleneck 1x1 (reference RandLANet.py:130-132)
         feature = SharedMLP(
-            skips[-1].shape[-1], momentum=cfg.bn_momentum, axis_name=ax
+            skips[-1].shape[-1], momentum=cfg.bn_momentum, dtype=dt,
+            axis_name=ax,
         )(feature, train)
 
         # Decoder (reference RandLANet.py:136-143)
@@ -211,14 +226,17 @@ class RandLANet(nn.Module):
             f_interp = _interp(feature, pyramid.interp_idx[-j - 1])
             f_cat = jnp.concatenate([skips[-j - 2], f_interp], axis=-1)
             feature = SharedMLP(
-                skips[-j - 2].shape[-1], momentum=cfg.bn_momentum, axis_name=ax
+                skips[-j - 2].shape[-1], momentum=cfg.bn_momentum, dtype=dt,
+                axis_name=ax,
             )(f_cat, train)
 
         # Head: fc1(64) -> fc2(32) -> dropout(0.5) -> fc(num_classes)
-        x = SharedMLP(64, momentum=cfg.bn_momentum, axis_name=ax)(
+        x = SharedMLP(64, momentum=cfg.bn_momentum, dtype=dt, axis_name=ax)(
             feature, train
         )
-        x = SharedMLP(32, momentum=cfg.bn_momentum, axis_name=ax)(x, train)
+        x = SharedMLP(32, momentum=cfg.bn_momentum, dtype=dt, axis_name=ax)(
+            x, train
+        )
         x = nn.Dropout(rate=cfg.dropout_rate, deterministic=not train)(x)
         logits = nn.Dense(cfg.num_classes, kernel_init=_CONV_INIT)(x)
         return logits.astype(jnp.float32)

@@ -56,6 +56,10 @@ class PointSegTrainer:
         self.mesh = mesh
         self.num_points = num_points or config.num_points
         self.model = RandLANet(config)
+        if self.tcfg.debug_nans:
+            from ..core.debug import enable_nan_trap
+
+            enable_nan_trap(True)
         self._best_miou = 0.0
         self._lr_schedule = self._make_lr_schedule()
         self.tx = optax.adam(self._lr_schedule)
@@ -200,20 +204,23 @@ class PointSegTrainer:
     ) -> TrainState:
         """Epoch loop: train steps, epoch-end eval, best-mIoU checkpoint
         (reference RandLANet.py:156-206)."""
+        from ..core.debug import StepTimer, format_eta
+
+        timer = StepTimer(self.cfg.max_epoch * max(self.cfg.train_steps, 1))
         for epoch in range(self.cfg.max_epoch):
             log(f"****EPOCH {epoch}****")
-            t0 = time.time()
             for i, (xyz, feats, labels) in enumerate(train_epoch_iter()):
                 xyz, feats, labels = self.shard_batch(xyz, feats, labels)
                 state, m = self.train_step(state, xyz, feats, labels)
                 if (i + 1) % self.tcfg.log_every == 0:
-                    dt = (time.time() - t0) * 1000 / self.tcfg.log_every
+                    t = timer.tick(self.tcfg.log_every)
                     log(
                         f"Step {int(state.step):08d} "
                         f"L_out={float(m['loss']):5.3f} "
-                        f"Acc={float(m['acc']):4.2f} ---{dt:8.2f} ms/batch"
+                        f"Acc={float(m['acc']):4.2f} "
+                        f"---{t['ms_per_batch']:8.2f} ms/batch "
+                        f"ETA {format_eta(t['eta_sec'])}"
                     )
-                    t0 = time.time()
             if val_iter_fn is not None:
                 miou = self.evaluate(state, val_iter_fn(), log)
                 if miou > self._best_miou:

@@ -59,6 +59,10 @@ class SaliencyTrainer:
         self.mesh = mesh
         self.attention = attention
         self.model = (SaliencyUNet if attention else UNet3D)(config)
+        if self.tcfg.debug_nans:
+            from ..core.debug import enable_nan_trap
+
+            enable_nan_trap(True)
         self._schedule = self._make_schedule()
         self._tx_template = None
         self._build_steps()
@@ -111,7 +115,14 @@ class SaliencyTrainer:
                 logits, bs = self._apply(
                     p, state.batch_stats, images, train=True
                 )
-                loss = saliency_dice_loss(logits, weights, labels)
+                if labels.ndim == logits.ndim:
+                    # mixed one-hot targets (MIXUP path, reference
+                    # model.py:550-618)
+                    from ..models.losses import saliency_dice_loss_mixup
+
+                    loss = saliency_dice_loss_mixup(logits, weights, labels)
+                else:
+                    loss = saliency_dice_loss(logits, weights, labels)
                 return loss, bs
 
             (loss, batch_stats), grads = jax.value_and_grad(
@@ -139,9 +150,17 @@ class SaliencyTrainer:
         self.predict_patch = jax.jit(predict_patch)
 
     def predict_volume(
-        self, state: SaliencyTrainState, volume_dhwc: jax.Array
+        self,
+        state: SaliencyTrainState,
+        volume_dhwc: jax.Array,
+        dynamic_shape: bool = False,
     ) -> np.ndarray:
-        """Sliding-window softmax probabilities for one (D, H, W, C) volume."""
+        """Sliding-window softmax probabilities for one (D, H, W, C) volume.
+
+        dynamic_shape grows the patch to cover the whole volume in one
+        window (reference DYNAMIC_SHAPE_PRED, eval.py:195-284) at the cost
+        of a per-shape compile.
+        """
         cfg = self.cfg
 
         def model_fn(window):
@@ -150,11 +169,20 @@ class SaliencyTrainer:
             )
             return jax.nn.softmax(logits, axis=-1)
 
+        if dynamic_shape:
+            patch = tuple(
+                max(((s + 15) // 16) * 16, p)
+                for s, p in zip(volume_dhwc.shape[:3],
+                                cfg.inference_patch_size)
+            )
+        else:
+            patch = tuple(cfg.inference_patch_size)
+
         fn = jax.jit(
             lambda v: sliding_window_inference(
                 v,
                 model_fn,
-                cfg.inference_patch_size,
+                patch,
                 (cfg.xstep, cfg.ystep, cfg.zstep),
                 cfg.num_class,
             )
@@ -249,9 +277,13 @@ class SaliencyTrainer:
                 )
                 t0 = time.time()
             epoch_end = step % cfg.steps_per_epoch == 0
-            if epoch_end and eval_records is not None:
+            if epoch_end:
                 epoch = step // cfg.steps_per_epoch
-                if epoch % cfg.eval_epoch == 0:
+                # periodic snapshot every 20 epochs (reference ModelSaver,
+                # train.py:273-275)
+                if checkpointer is not None and epoch % 20 == 0:
+                    checkpointer.save(state, step)
+                if eval_records is not None and epoch % cfg.eval_epoch == 0:
                     dice = self.evaluate(state, eval_records, log)
                     if dice > best:
                         best = dice
