@@ -36,11 +36,14 @@ from ..train.saliency import SaliencyTrainer
 
 
 def build_pipeline(args):
+    # the fast path runs the attention net as one whole-volume window;
+    # bf16 compute keeps that inside HBM (f32 at (160,240,240,64) OOMs)
+    bf16 = getattr(args, "fast", False)
     if args.dataset == "brats":
-        scfg = brats_saliency_config()
+        scfg = brats_saliency_config(use_bfloat16=bf16)
         pcfg = brats_pointseg_config(num_points=args.n_point)
     else:
-        scfg = pancreas_saliency_config()
+        scfg = pancreas_saliency_config(use_bfloat16=bf16)
         pcfg = pancreas_pointseg_config(num_points=args.n_point)
 
     rng = jax.random.PRNGKey(0)
@@ -84,20 +87,50 @@ def main(argv=None):
     parser.add_argument("--pointseg_checkpoint", type=str, default=None)
     parser.add_argument("--threshold", type=float, default=0.9)
     parser.add_argument("--n_point", type=int, default=365000)
+    parser.add_argument("--fast", action="store_true",
+                        help="fully device-resident path: whole-volume "
+                             "attention window (bf16) + on-device sampling "
+                             "(pipeline/fused.py)")
+    parser.add_argument("--postprocess", action="store_true")
     args = parser.parse_args(argv)
 
     pipeline = build_pipeline(args)
     os.makedirs(args.outSegment_path, exist_ok=True)
 
+    fast_pipe = None
     cases = find_brats_cases(args.data_3D_path)
     for case_dir in cases:
         rec, meta = load_brats_case(case_dir, with_label=False, crop=False)
         # record is [z,y,x]; pipeline expects (C, X, Y, Z)
         mods = np.transpose(rec.image, (0, 3, 2, 1))
         t0 = time.time()
-        labels = pipeline.segment_volume(
-            mods, brats_labels=args.dataset == "brats"
-        )
+        if args.fast:
+            if fast_pipe is None:
+                from ..pipeline.fused import FusedPointUnet
+
+                fast_pipe = FusedPointUnet(
+                    pipeline.saliency_model,
+                    pipeline.saliency_variables,
+                    pipeline.pointseg_model,
+                    pipeline.pointseg_variables,
+                    pipeline.scfg,
+                    pipeline.pcfg,
+                    threshold=args.threshold,
+                    volume_shape=mods.shape[1:],
+                )
+            labels = fast_pipe.segment_volume(
+                mods, brats_labels=args.dataset == "brats"
+            )
+        else:
+            labels = pipeline.segment_volume(
+                mods,
+                brats_labels=args.dataset == "brats",
+                postprocess=args.postprocess,
+            )
+        if args.fast and args.postprocess and args.dataset == "brats":
+            from ..pipeline.postprocess import postprocess_brats
+
+            labels = postprocess_brats(labels)
         dt = time.time() - t0
         out = os.path.join(
             args.outSegment_path, f"{meta['case_id']}.nii.gz"

@@ -118,6 +118,9 @@ class SaliencyConfig:
     ystep: int = 118
     zstep: int = 118
     weight_decay: float = 1e-5
+    # bf16 conv compute with f32 params/statistics (inference speedup; the
+    # reference is f32-only)
+    use_bfloat16: bool = False
     # lr schedule drop epochs (reference train.py:276-281)
     lr_schedule: Tuple[Tuple[int, float], ...] = (
         (20, 0.001), (70, 0.0005), (110, 0.0001), (150, 5e-5), (280, 1e-5),

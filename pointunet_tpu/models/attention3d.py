@@ -24,6 +24,7 @@ class SpatialAttention3D(nn.Module):
     instance_norm: bool = True
     axis_name: Optional[str] = None
     kernel: int = 9
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -31,10 +32,22 @@ class SpatialAttention3D(nn.Module):
         c = self.channels
 
         def branch(pair_a, pair_b):
-            h = nn.Conv(c // 2, pair_a, padding="SAME", kernel_init=_CONV_INIT)(x)
-            h = NormRelu(self.instance_norm, axis_name=self.axis_name)(h, train)
-            h = nn.Conv(1, pair_b, padding="SAME", kernel_init=_CONV_INIT)(h)
-            return NormRelu(self.instance_norm, axis_name=self.axis_name)(h, train)
+            h = nn.Conv(
+                c // 2, pair_a, padding="SAME", kernel_init=_CONV_INIT,
+                dtype=self.dtype,
+            )(x)
+            h = NormRelu(
+                self.instance_norm, dtype=self.dtype,
+                axis_name=self.axis_name,
+            )(h, train)
+            h = nn.Conv(
+                1, pair_b, padding="SAME", kernel_init=_CONV_INIT,
+                dtype=self.dtype,
+            )(h)
+            return NormRelu(
+                self.instance_norm, dtype=self.dtype,
+                axis_name=self.axis_name,
+            )(h, train)
 
         a1 = branch((1, k, k), (k, 1, 1))
         a2 = branch((k, 1, k), (1, k, 1))

@@ -19,20 +19,24 @@ class NormRelu(nn.Module):
 
     instance_norm: bool = True
     momentum: float = 0.9
+    dtype: object = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.instance_norm:
-            # per-sample, per-channel stats over spatial dims (D, H, W)
+            # per-sample, per-channel stats over spatial dims (D, H, W);
+            # statistics reduce in f32 regardless of compute dtype
             x = nn.GroupNorm(
-                num_groups=None, group_size=1, epsilon=1e-5
+                num_groups=None, group_size=1, epsilon=1e-5,
+                dtype=self.dtype,
             )(x)
         else:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.momentum,
                 epsilon=1e-5,
+                dtype=self.dtype,
                 axis_name=self.axis_name if train else None,
             )(x)
         return nn.relu(x)

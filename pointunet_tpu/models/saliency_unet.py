@@ -36,6 +36,7 @@ class ConvNormRelu(nn.Module):
     strides: tuple = (1, 1, 1)
     dilation: tuple = (1, 1, 1)
     instance_norm: bool = True
+    dtype: object = None
     axis_name: Optional[str] = None
     use_bias: bool = True
 
@@ -49,8 +50,11 @@ class ConvNormRelu(nn.Module):
             padding="SAME",
             use_bias=self.use_bias,
             kernel_init=_CONV_INIT,
+            dtype=self.dtype,
         )(x)
-        return NormRelu(self.instance_norm, axis_name=self.axis_name)(x, train)
+        return NormRelu(
+            self.instance_norm, dtype=self.dtype, axis_name=self.axis_name
+        )(x, train)
 
 
 class UNetBlock(nn.Module):
@@ -61,6 +65,7 @@ class UNetBlock(nn.Module):
     residual: bool = True
     instance_norm: bool = True
     axis_name: Optional[str] = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -69,6 +74,7 @@ class UNetBlock(nn.Module):
             h = ConvNormRelu(
                 self.features,
                 instance_norm=self.instance_norm,
+                dtype=self.dtype,
                 axis_name=self.axis_name,
             )(h, train)
         return x + h if self.residual else h
@@ -81,13 +87,15 @@ class CFE3D(nn.Module):
     features: int = 32
     instance_norm: bool = True
     axis_name: Optional[str] = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = [
             ConvNormRelu(
                 self.features, kernel=(1, 1, 1), use_bias=False,
-                instance_norm=self.instance_norm, axis_name=self.axis_name,
+                instance_norm=self.instance_norm, dtype=self.dtype,
+                axis_name=self.axis_name,
             )(x, train)
         ]
         for rate in (3, 5, 7):
@@ -97,6 +105,7 @@ class CFE3D(nn.Module):
                     dilation=(rate, rate, rate),
                     use_bias=False,
                     instance_norm=self.instance_norm,
+                    dtype=self.dtype,
                     axis_name=self.axis_name,
                 )(x, train)
             )
@@ -117,6 +126,7 @@ class UpsampleConv(nn.Module):
     features: int
     instance_norm: bool = True
     axis_name: Optional[str] = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -124,6 +134,7 @@ class UpsampleConv(nn.Module):
         return ConvNormRelu(
             self.features,
             instance_norm=self.instance_norm,
+            dtype=self.dtype,
             axis_name=self.axis_name,
         )(x, train)
 
@@ -138,9 +149,10 @@ class _Encoder(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.config
         inorm, ax = cfg.instance_norm, self.axis_name
-        x = ConvNormRelu(cfg.base_filter, instance_norm=inorm, axis_name=ax)(
-            x, train
-        )
+        dt = jnp.bfloat16 if cfg.use_bfloat16 else None
+        x = ConvNormRelu(
+            cfg.base_filter, instance_norm=inorm, dtype=dt, axis_name=ax
+        )(x, train)
         down = []
         for d in range(cfg.depth):
             filters = (
@@ -151,12 +163,14 @@ class _Encoder(nn.Module):
                 residual=cfg.residual,
                 instance_norm=inorm,
                 axis_name=ax,
+                dtype=dt,
             )
             if cfg.residual and x.shape[-1] != filters:
                 # residual add needs matching channels; the reference
                 # guarantees this via the strided conv's filters*2
                 x = ConvNormRelu(
-                    filters, kernel=(1, 1, 1), instance_norm=inorm, axis_name=ax
+                    filters, kernel=(1, 1, 1), instance_norm=inorm,
+                    dtype=dt, axis_name=ax,
                 )(x, train)
             x = block(x, train)
             down.append(x)
@@ -165,6 +179,7 @@ class _Encoder(nn.Module):
                     filters * 2,
                     strides=(2, 2, 2),
                     instance_norm=inorm,
+                    dtype=dt,
                     axis_name=ax,
                 )(x, train)
         return down
@@ -180,42 +195,49 @@ class SaliencyUNet(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.config
         inorm, ax = cfg.instance_norm, self.axis_name
+        dt = jnp.bfloat16 if cfg.use_bfloat16 else None
 
         down = _Encoder(cfg, axis_name=ax)(x, train)
 
         # low-level features
-        c1 = ConvNormRelu(64, instance_norm=inorm, axis_name=ax)(down[0], train)
-        c2 = ConvNormRelu(64, instance_norm=inorm, axis_name=ax)(down[1], train)
+        c1 = ConvNormRelu(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
+            down[0], train
+        )
+        c2 = ConvNormRelu(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
+            down[1], train
+        )
 
         # high-level context features at 1/4, 1/8, 1/16 -> all to 1/4
-        c3 = CFE3D(32, inorm, ax)(down[2], train)
-        c4 = CFE3D(32, inorm, ax)(down[3], train)
-        c5 = CFE3D(32, inorm, ax)(down[4], train)
-        c5 = UpsampleConv(4, 128, inorm, ax)(c5, train)
-        c4 = UpsampleConv(2, 128, inorm, ax)(c4, train)
+        c3 = CFE3D(32, inorm, ax, dt)(down[2], train)
+        c4 = CFE3D(32, inorm, ax, dt)(down[3], train)
+        c5 = CFE3D(32, inorm, ax, dt)(down[4], train)
+        c5 = UpsampleConv(4, 128, inorm, ax, dt)(c5, train)
+        c4 = UpsampleConv(2, 128, inorm, ax, dt)(c4, train)
         c345 = jnp.concatenate([c3, c4, c5], axis=-1)
 
         if cfg.ca_attention:
             c345 = ChannelWiseAttention3D()(c345)
         c345 = ConvNormRelu(
-            64, kernel=(1, 1, 1), instance_norm=inorm, axis_name=ax
+            64, kernel=(1, 1, 1), instance_norm=inorm, dtype=dt, axis_name=ax
         )(c345, train)
-        c345 = UpsampleConv(4, 64, inorm, ax)(c345, train)
+        c345 = UpsampleConv(4, 64, inorm, ax, dt)(c345, train)
 
         if cfg.sa_attention:
-            sa = SpatialAttention3D(64, inorm, ax)(c345, train)
+            sa = SpatialAttention3D(64, inorm, ax, dtype=dt)(c345, train)
 
-        c2 = UpsampleConv(2, 64, inorm, ax)(c2, train)
+        c2 = UpsampleConv(2, 64, inorm, ax, dt)(c2, train)
         c12 = jnp.concatenate([c1, c2], axis=-1)
-        c12 = ConvNormRelu(64, instance_norm=inorm, axis_name=ax)(c12, train)
+        c12 = ConvNormRelu(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
+            c12, train
+        )
         if cfg.sa_attention:
-            c12 = sa * c12
+            c12 = sa.astype(c12.dtype) * c12
 
         fea = jnp.concatenate([c12, c345], axis=-1)
         logits = nn.Conv(
             cfg.num_class, (3, 3, 3), padding="SAME", kernel_init=_CONV_INIT
         )(fea)
-        return logits
+        return logits.astype(jnp.float32)
 
 
 class UNet3D(nn.Module):

@@ -1,0 +1,64 @@
+"""On-device context-aware sampling.
+
+Device-resident version of data/pointcloud.py's sampler (reference
+runBraTS.py:105-110): keep ALL salient voxels, fill the fixed budget with
+random background voxels, never pick empty voxels unless the volume is
+smaller than the budget. One top-k over randomized priority scores:
+
+  score(v) = U(0,1) + 2 * [salient & nonzero] + 1 * [nonzero]
+
+so the descending top-``num_points`` selects salient voxels first (randomly
+subsampled if they exceed the budget — the documented clamp), then random
+background. The selection is also the shuffle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DeviceCloud(NamedTuple):
+    xyz: jax.Array          # (N, 3) f32, coords / dims
+    features: jax.Array     # (N, C) f32
+    labels: jax.Array       # (N,) int32 (zeros if no label volume given)
+    xyz_origin: jax.Array   # (N, 3) int32 voxel coords
+
+
+@functools.partial(jax.jit, static_argnames=("num_points",))
+def sample_cloud_device(
+    modalities: jax.Array,          # (C, X, Y, Z)
+    mask: jax.Array,                # (X, Y, Z) salient mask (bool/int)
+    key: jax.Array,
+    num_points: int,
+    labels: jax.Array | None = None,  # (X, Y, Z) int labels (optional)
+) -> DeviceCloud:
+    c, x, y, z = modalities.shape
+    nvox = x * y * z
+    flat_mods = modalities.reshape(c, nvox).T          # (nvox, C)
+    nonzero = jnp.any(flat_mods != 0, axis=1)
+    salient = (mask.reshape(nvox) > 0) & nonzero
+
+    score = (
+        jax.random.uniform(key, (nvox,), jnp.float32)
+        + 2.0 * salient.astype(jnp.float32)
+        + nonzero.astype(jnp.float32)
+    )
+    _, sel = jax.lax.top_k(score, num_points)          # (N,) flat ids
+
+    xi = sel // (y * z)
+    rem = sel % (y * z)
+    yi = rem // z
+    zi = rem % z
+    origin = jnp.stack([xi, yi, zi], axis=-1).astype(jnp.int32)
+    dims = jnp.asarray([x, y, z], jnp.float32)
+    xyz = origin.astype(jnp.float32) / dims
+
+    feats = flat_mods[sel]
+    if labels is None:
+        labs = jnp.zeros((num_points,), jnp.int32)
+    else:
+        labs = labels.reshape(nvox)[sel].astype(jnp.int32)
+    return DeviceCloud(xyz, feats, labs, origin)

@@ -1,0 +1,124 @@
+"""Fully device-resident Point-Unet: one volume in HBM -> labels in HBM.
+
+The performance statement of this framework: the reference's three stages
+plus four filesystem hand-offs collapse into four chained XLA programs with
+zero host round-trips for data —
+
+  1. saliency attention as a SINGLE whole-volume window (padded to the
+     depth-5 stride; 2.2x less work than the reference's 12 overlapping
+     (64,160,160) tiles) in bf16;
+  2. on-device context-aware sampling (ops/sampling.py): one top-k over
+     priority scores replaces the host numpy sampler;
+  3. on-device KNN pyramid (Pallas cell-window kernel) + RandLA-Net;
+  4. per-point probabilities scattered back into the voxel grid.
+
+`PointUnetPipeline` (end2end.py) keeps the reference's overlapping-window
+numerics for parity; this module is the speed path used by `segment --fast`
+and the benchmark.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import PointSegConfig, SaliencyConfig
+from ..ops.pyramid import build_pyramid_batch
+from ..ops.sampling import sample_cloud_device
+from ..ops.scatter import scatter_probs_to_volume
+
+
+def _pad_to_multiple(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+class FusedPointUnet:
+    def __init__(
+        self,
+        saliency_model,
+        saliency_variables,
+        pointseg_model,
+        pointseg_variables,
+        saliency_config: SaliencyConfig,
+        pointseg_config: PointSegConfig,
+        threshold: float = 0.9,
+        volume_shape=(240, 240, 155),   # (X, Y, Z)
+    ):
+        self.scfg = saliency_config
+        self.pcfg = pointseg_config
+        self.threshold = threshold
+        self.volume_shape = tuple(volume_shape)
+        x, y, z = self.volume_shape
+        zp = _pad_to_multiple(z, 16)
+        yp = _pad_to_multiple(y, 16)
+        xp = _pad_to_multiple(x, 16)
+
+        @jax.jit
+        def attention_mask(mods):                 # (C, X, Y, Z) -> (X, Y, Z)
+            vol = jnp.transpose(mods, (3, 2, 1, 0))          # (Z, Y, X, C)
+            vol = jnp.pad(
+                vol,
+                ((0, zp - z), (0, yp - y), (0, xp - x), (0, 0)),
+            )
+            logits = saliency_model.apply(
+                saliency_variables, vol[None], train=False
+            )[0]
+            probs = jax.nn.softmax(logits, axis=-1)[..., 1]
+            probs = probs[:z, :y, :x]
+            return (jnp.transpose(probs, (2, 1, 0)) >= threshold)
+
+        @jax.jit
+        def sample(mods, mask, key):
+            return sample_cloud_device(
+                mods, mask, key, self.pcfg.num_points
+            )
+
+        @jax.jit
+        def pyramid_fn(xyz):
+            return build_pyramid_batch(
+                xyz[None], self.pcfg.k_n, self.pcfg.sub_sampling_ratio
+            )
+
+        @jax.jit
+        def pointseg_scatter(pyramid, xyz, feats, origin):
+            logits = pointseg_model.apply(
+                pointseg_variables,
+                jnp.concatenate([xyz, feats], -1)[None],
+                pyramid,
+                train=False,
+            )
+            probs = jax.nn.softmax(logits[0], axis=-1)
+            vol = scatter_probs_to_volume(probs, origin, (z, y, x))
+            labels = jnp.argmax(vol, axis=-1).astype(jnp.uint8)
+            return labels                                     # (Z, Y, X)
+
+        self._attention_mask = attention_mask
+        self._sample = sample
+        self._pyramid_fn = pyramid_fn
+        self._pointseg_scatter = pointseg_scatter
+
+    def segment_device(self, modalities: jax.Array, key: jax.Array):
+        """(C, X, Y, Z) device array -> (Z, Y, X) uint8 labels, on device."""
+        mask = self._attention_mask(modalities)
+        cloud = self._sample(modalities, mask, key)
+        pyramid = self._pyramid_fn(cloud.xyz)
+        return self._pointseg_scatter(
+            pyramid, cloud.xyz, cloud.features, cloud.xyz_origin
+        )
+
+    def segment_volume(
+        self, modalities: np.ndarray, seed: int = 0,
+        brats_labels: bool = True,
+    ) -> np.ndarray:
+        """(C, X, Y, Z) numpy -> (X, Y, Z) labels, reference label values."""
+        labels = np.asarray(
+            self.segment_device(
+                jnp.asarray(modalities, jnp.float32), jax.random.PRNGKey(seed)
+            )
+        )
+        labels = np.transpose(labels, (2, 1, 0)).copy()
+        if brats_labels:
+            labels[labels == 3] = 4
+        return labels

@@ -1,0 +1,71 @@
+"""On-device sampler and fused pipeline (tiny CPU shapes)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointunet_tpu.core import brats_pointseg_config, brats_saliency_config
+from pointunet_tpu.models.randlanet import init_randlanet
+from pointunet_tpu.models.saliency_unet import init_saliency_unet
+from pointunet_tpu.ops.sampling import sample_cloud_device
+from pointunet_tpu.pipeline.fused import FusedPointUnet
+
+
+def test_sample_cloud_device_keeps_salient(rng):
+    mods = np.zeros((2, 16, 16, 8), np.float32)
+    mods[:, 2:14, 2:14, 1:7] = rng.uniform(0.5, 1.5, (12, 12, 6))
+    mask = np.zeros((16, 16, 8), np.uint8)
+    mask[6:10, 6:10, 3:5] = 1
+    labels = mask.astype(np.int32) * 2
+
+    cloud = sample_cloud_device(
+        jnp.asarray(mods), jnp.asarray(mask), jax.random.PRNGKey(0),
+        num_points=256, labels=jnp.asarray(labels),
+    )
+    origin = np.asarray(cloud.xyz_origin)
+    # all salient voxels selected
+    sel_salient = mask[origin[:, 0], origin[:, 1], origin[:, 2]]
+    assert sel_salient.sum() == mask.sum()
+    # no empty voxels picked (enough nonzero voxels exist)
+    nz = (mods != 0).any(0)
+    assert nz[origin[:, 0], origin[:, 1], origin[:, 2]].all()
+    # labels gathered correctly
+    np.testing.assert_array_equal(
+        np.asarray(cloud.labels),
+        labels[origin[:, 0], origin[:, 1], origin[:, 2]],
+    )
+    # xyz normalized by dims
+    np.testing.assert_allclose(
+        np.asarray(cloud.xyz),
+        origin / np.array([16, 16, 8], np.float32),
+        rtol=1e-6,
+    )
+
+
+def test_sample_cloud_device_oversubscribed_salient(rng):
+    """More salient voxels than budget -> random salient subset."""
+    mods = np.ones((1, 8, 8, 8), np.float32)
+    mask = np.ones((8, 8, 8), np.uint8)
+    cloud = sample_cloud_device(
+        jnp.asarray(mods), jnp.asarray(mask), jax.random.PRNGKey(1),
+        num_points=64,
+    )
+    origin = np.asarray(cloud.xyz_origin)
+    assert len(np.unique(origin, axis=0)) == 64
+
+
+def test_fused_pipeline_tiny(rng):
+    scfg = brats_saliency_config(base_filter=4)
+    pcfg = brats_pointseg_config(num_points=2048, k_n=8)
+    k = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(k, scfg)
+    pmodel, pvars = init_randlanet(k, pcfg, num_points=2048)
+    pipe = FusedPointUnet(
+        smodel, svars, pmodel, pvars, scfg, pcfg,
+        threshold=0.9, volume_shape=(32, 32, 16),
+    )
+    mods = rng.standard_normal((4, 32, 32, 16)).astype(np.float32)
+    mods[:, :4] = 0.0  # some exact-zero region
+    labels = pipe.segment_volume(mods)
+    assert labels.shape == (32, 32, 16)
+    assert set(np.unique(labels)) <= {0, 1, 2, 4}
