@@ -121,6 +121,9 @@ class SaliencyConfig:
     # bf16 conv compute with f32 params/statistics (inference speedup; the
     # reference is f32-only)
     use_bfloat16: bool = False
+    # rematerialize blocks in the backward pass: full-resolution activation
+    # stashes at (64,160,160) OOM a 16G chip without it
+    remat: bool = True
     # lr schedule drop epochs (reference train.py:276-281)
     lr_schedule: Tuple[Tuple[int, float], ...] = (
         (20, 0.001), (70, 0.0005), (110, 0.0001), (150, 5e-5), (280, 1e-5),

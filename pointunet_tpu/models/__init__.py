@@ -2,14 +2,24 @@ from .randlanet import RandLANet, init_randlanet
 from .losses import (
     generalised_dice_loss,
     point_dice_loss,
+    point_dice_weighted,
     saliency_dice_loss,
+    saliency_dice_loss_mixup,
     soft_dice,
+    soft_dice_mixup,
     weighted_cross_entropy,
 )
+from .saliency_unet import SaliencyUNet, UNet3D, init_saliency_unet
 
 __all__ = [
     "RandLANet",
     "init_randlanet",
+    "SaliencyUNet",
+    "UNet3D",
+    "init_saliency_unet",
+    "point_dice_weighted",
+    "saliency_dice_loss_mixup",
+    "soft_dice_mixup",
     "generalised_dice_loss",
     "point_dice_loss",
     "saliency_dice_loss",

@@ -139,6 +139,18 @@ class UpsampleConv(nn.Module):
         )(x, train)
 
 
+def _maybe_remat(cls, enable):
+    """Checkpoint a block's activations for the backward pass (arg 2 =
+    ``train`` is static). The wrapped class keeps the original __name__ so
+    flax auto-naming — and therefore the param tree — is identical whether
+    remat is active (train) or not (inference)."""
+    if not enable:
+        return cls
+    wrapped = nn.remat(cls, static_argnums=(2,))
+    wrapped.__name__ = cls.__name__
+    return wrapped
+
+
 class _Encoder(nn.Module):
     """Shared encoder: init conv + depth x (block, strided downsample)."""
 
@@ -150,7 +162,9 @@ class _Encoder(nn.Module):
         cfg = self.config
         inorm, ax = cfg.instance_norm, self.axis_name
         dt = jnp.bfloat16 if cfg.use_bfloat16 else None
-        x = ConvNormRelu(
+        Block = _maybe_remat(UNetBlock, cfg.remat and train)
+        CNR = _maybe_remat(ConvNormRelu, cfg.remat and train)
+        x = CNR(
             cfg.base_filter, instance_norm=inorm, dtype=dt, axis_name=ax
         )(x, train)
         down = []
@@ -158,7 +172,7 @@ class _Encoder(nn.Module):
             filters = (
                 cfg.base_filter * (2 ** d) if cfg.filter_grow else cfg.base_filter
             )
-            block = UNetBlock(
+            block = Block(
                 filters,
                 residual=cfg.residual,
                 instance_norm=inorm,
@@ -168,14 +182,14 @@ class _Encoder(nn.Module):
             if cfg.residual and x.shape[-1] != filters:
                 # residual add needs matching channels; the reference
                 # guarantees this via the strided conv's filters*2
-                x = ConvNormRelu(
+                x = CNR(
                     filters, kernel=(1, 1, 1), instance_norm=inorm,
                     dtype=dt, axis_name=ax,
                 )(x, train)
             x = block(x, train)
             down.append(x)
             if d != cfg.depth - 1:
-                x = ConvNormRelu(
+                x = CNR(
                     filters * 2,
                     strides=(2, 2, 2),
                     instance_norm=inorm,
@@ -196,38 +210,42 @@ class SaliencyUNet(nn.Module):
         cfg = self.config
         inorm, ax = cfg.instance_norm, self.axis_name
         dt = jnp.bfloat16 if cfg.use_bfloat16 else None
+        CNR = _maybe_remat(ConvNormRelu, cfg.remat and train)
+        CFE = _maybe_remat(CFE3D, cfg.remat and train)
+        Up = _maybe_remat(UpsampleConv, cfg.remat and train)
+        SA = _maybe_remat(SpatialAttention3D, cfg.remat and train)
 
         down = _Encoder(cfg, axis_name=ax)(x, train)
 
         # low-level features
-        c1 = ConvNormRelu(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
+        c1 = CNR(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
             down[0], train
         )
-        c2 = ConvNormRelu(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
+        c2 = CNR(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
             down[1], train
         )
 
         # high-level context features at 1/4, 1/8, 1/16 -> all to 1/4
-        c3 = CFE3D(32, inorm, ax, dt)(down[2], train)
-        c4 = CFE3D(32, inorm, ax, dt)(down[3], train)
-        c5 = CFE3D(32, inorm, ax, dt)(down[4], train)
-        c5 = UpsampleConv(4, 128, inorm, ax, dt)(c5, train)
-        c4 = UpsampleConv(2, 128, inorm, ax, dt)(c4, train)
+        c3 = CFE(32, inorm, ax, dt)(down[2], train)
+        c4 = CFE(32, inorm, ax, dt)(down[3], train)
+        c5 = CFE(32, inorm, ax, dt)(down[4], train)
+        c5 = Up(4, 128, inorm, ax, dt)(c5, train)
+        c4 = Up(2, 128, inorm, ax, dt)(c4, train)
         c345 = jnp.concatenate([c3, c4, c5], axis=-1)
 
         if cfg.ca_attention:
             c345 = ChannelWiseAttention3D()(c345)
-        c345 = ConvNormRelu(
+        c345 = CNR(
             64, kernel=(1, 1, 1), instance_norm=inorm, dtype=dt, axis_name=ax
         )(c345, train)
-        c345 = UpsampleConv(4, 64, inorm, ax, dt)(c345, train)
+        c345 = Up(4, 64, inorm, ax, dt)(c345, train)
 
         if cfg.sa_attention:
-            sa = SpatialAttention3D(64, inorm, ax, dtype=dt)(c345, train)
+            sa = SA(64, inorm, ax, dtype=dt)(c345, train)
 
-        c2 = UpsampleConv(2, 64, inorm, ax, dt)(c2, train)
+        c2 = Up(2, 64, inorm, ax, dt)(c2, train)
         c12 = jnp.concatenate([c1, c2], axis=-1)
-        c12 = ConvNormRelu(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
+        c12 = CNR(64, instance_norm=inorm, dtype=dt, axis_name=ax)(
             c12, train
         )
         if cfg.sa_attention:
@@ -255,17 +273,19 @@ class UNet3D(nn.Module):
             for d in range(cfg.depth)
         ]
 
+        CNR = _maybe_remat(ConvNormRelu, cfg.remat and train)
+        Up = _maybe_remat(UpsampleConv, cfg.remat and train)
         down = _Encoder(cfg, axis_name=ax)(x, train)
         layer = down[-1]
 
         deep_supervision = None
         for d in range(cfg.depth - 2, -1, -1):
-            layer = UpsampleConv(2, filters[d], inorm, ax)(layer, train)
+            layer = Up(2, filters[d], inorm, ax)(layer, train)
             layer = jnp.concatenate([layer, down[d]], axis=-1)
-            layer = ConvNormRelu(
+            layer = CNR(
                 filters[d], instance_norm=inorm, axis_name=ax
             )(layer, train)
-            layer = ConvNormRelu(
+            layer = CNR(
                 filters[d], kernel=(1, 1, 1), instance_norm=inorm, axis_name=ax
             )(layer, train)
             if cfg.deep_supervision and 0 < d < 3:

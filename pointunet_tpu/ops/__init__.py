@@ -1,4 +1,7 @@
 from .knn import knn, knn_batch, knn_with_distances
+from .knn_grid import knn_grid
+from .knn_window import knn_cell_window
+from .sampling import DeviceCloud, sample_cloud_device
 from .gather import (
     gather_neighbour,
     max_pool_neighbours,
@@ -13,6 +16,10 @@ __all__ = [
     "knn",
     "knn_batch",
     "knn_with_distances",
+    "knn_grid",
+    "knn_cell_window",
+    "DeviceCloud",
+    "sample_cloud_device",
     "gather_neighbour",
     "max_pool_neighbours",
     "nearest_interpolation",

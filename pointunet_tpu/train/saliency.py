@@ -110,24 +110,51 @@ class SaliencyTrainer:
         return logits, batch_stats
 
     def _build_steps(self):
+        def micro_loss(params, batch_stats, images, weights, labels):
+            logits, bs = self._apply(params, batch_stats, images, train=True)
+            if labels.ndim == logits.ndim:
+                # mixed one-hot targets (MIXUP path, reference
+                # model.py:550-618)
+                from ..models.losses import saliency_dice_loss_mixup
+
+                loss = saliency_dice_loss_mixup(logits, weights, labels)
+            else:
+                loss = saliency_dice_loss(logits, weights, labels)
+            return loss, bs
+
         def train_step(state: SaliencyTrainState, images, weights, labels):
-            def loss_fn(p):
-                logits, bs = self._apply(
-                    p, state.batch_stats, images, train=True
+            """Gradient accumulation over size-1 micro-batches.
+
+            One (64,160,160) sample's backward peaks ~12 GB even with block
+            remat, so the reference's batch of 2 runs as a lax.scan of
+            per-sample grads — identical math (the dice loss is a
+            batch-mean of per-sample terms) at half the activation memory.
+            """
+            grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+            b = images.shape[0]
+
+            def body(carry, micro):
+                grads_acc, loss_acc, bs = carry
+                im, w, lab = micro
+                (loss, bs), grads = grad_fn(
+                    state.params, bs, im[None], w[None], lab[None]
                 )
-                if labels.ndim == logits.ndim:
-                    # mixed one-hot targets (MIXUP path, reference
-                    # model.py:550-618)
-                    from ..models.losses import saliency_dice_loss_mixup
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g, grads_acc, grads
+                )
+                return (grads_acc, loss_acc + loss, bs), None
 
-                    loss = saliency_dice_loss_mixup(logits, weights, labels)
-                else:
-                    loss = saliency_dice_loss(logits, weights, labels)
-                return loss, bs
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            (grads, loss, batch_stats), _ = jax.lax.scan(
+                body,
+                (zero_grads, jnp.zeros((), jnp.float32), state.batch_stats),
+                (images, weights, labels),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / b, grads)
+            loss = loss / b
 
-            (loss, batch_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
             updates, opt_state = self.tx.update(
                 grads, state.opt_state, state.params
             )

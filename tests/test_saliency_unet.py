@@ -72,3 +72,30 @@ def test_saliency_dice_loss_perfect_prediction():
         jnp.asarray(-logits), jnp.asarray(weight), jnp.asarray(labels)
     )
     assert float(loss_bad) > 0.9
+
+
+def test_saliency_train_step_grad_accum(rng):
+    """Gradient-accumulated train step runs and reduces loss on a fixed
+    batch (covers the scan-over-microbatches path)."""
+    import jax
+    from pointunet_tpu.core import TrainConfig
+    from pointunet_tpu.train.saliency import SaliencyTrainer
+
+    cfg = pancreas_saliency_config(
+        patch_size=TINY_PATCH, base_filter=4, batch_size=2,
+        steps_per_epoch=5, base_lr=0.05,
+    )
+    trainer = SaliencyTrainer(cfg, TrainConfig(donate_state=False))
+    state = trainer.init_state()
+    imgs = rng.standard_normal((2,) + TINY_PATCH + (1,)).astype(np.float32)
+    labels = np.zeros((2,) + TINY_PATCH, np.int32)
+    labels[:, 4:10, 8:20, 8:20] = 1
+    imgs[..., 0] += labels * 3.0
+    weights = np.ones((2,) + TINY_PATCH, np.float32)
+    losses = []
+    for _ in range(8):
+        state, m = trainer.train_step(
+            state, jnp.asarray(imgs), jnp.asarray(weights), jnp.asarray(labels)
+        )
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
