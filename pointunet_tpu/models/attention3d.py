@@ -11,6 +11,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .fastconv import FastConv
 from .norms import NormRelu
 
 _CONV_INIT = nn.initializers.glorot_uniform()
@@ -32,7 +33,7 @@ class SpatialAttention3D(nn.Module):
         c = self.channels
 
         def branch(pair_a, pair_b):
-            h = nn.Conv(
+            h = FastConv(
                 c // 2, pair_a, padding="SAME", kernel_init=_CONV_INIT,
                 dtype=self.dtype,
             )(x)
@@ -40,7 +41,7 @@ class SpatialAttention3D(nn.Module):
                 self.instance_norm, dtype=self.dtype,
                 axis_name=self.axis_name,
             )(h, train)
-            h = nn.Conv(
+            h = FastConv(
                 1, pair_b, padding="SAME", kernel_init=_CONV_INIT,
                 dtype=self.dtype,
             )(h)

@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from ..core.config import SaliencyConfig
 from .attention3d import ChannelWiseAttention3D, SpatialAttention3D
+from .fastconv import FastConv
 from .norms import NormRelu
 
 _CONV_INIT = nn.initializers.glorot_uniform()
@@ -42,7 +43,7 @@ class ConvNormRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+        x = FastConv(
             self.features,
             self.kernel,
             strides=self.strides,
@@ -252,7 +253,7 @@ class SaliencyUNet(nn.Module):
             c12 = sa.astype(c12.dtype) * c12
 
         fea = jnp.concatenate([c12, c345], axis=-1)
-        logits = nn.Conv(
+        logits = FastConv(
             cfg.num_class, (3, 3, 3), padding="SAME", kernel_init=_CONV_INIT
         )(fea)
         return logits.astype(jnp.float32)
@@ -289,7 +290,7 @@ class UNet3D(nn.Module):
                 filters[d], kernel=(1, 1, 1), instance_norm=inorm, axis_name=ax
             )(layer, train)
             if cfg.deep_supervision and 0 < d < 3:
-                pred = nn.Conv(
+                pred = FastConv(
                     cfg.num_class, (1, 1, 1), kernel_init=_CONV_INIT
                 )(layer)
                 if deep_supervision is None:
@@ -298,7 +299,7 @@ class UNet3D(nn.Module):
                     deep_supervision = deep_supervision + pred
                 deep_supervision = _upsample_nearest(deep_supervision, 2)
 
-        logits = nn.Conv(
+        logits = FastConv(
             cfg.num_class, (1, 1, 1), kernel_init=_CONV_INIT
         )(layer)
         if cfg.deep_supervision and deep_supervision is not None:

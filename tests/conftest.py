@@ -25,6 +25,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The suite's cost is XLA CPU compiles (the tiny saliency U-Net alone is
+# ~70 s to compile), so cache compilations persistently: a warm rerun of
+# the whole suite drops from >40 min to a few minutes.
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 @pytest.fixture
 def rng():

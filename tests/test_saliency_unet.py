@@ -81,11 +81,17 @@ def test_saliency_train_step_grad_accum(rng):
     from pointunet_tpu.core import TrainConfig
     from pointunet_tpu.train.saliency import SaliencyTrainer
 
+    # the plain depth-3 U-Net keeps the XLA:CPU compile tractable (the
+    # attention net's train-step compile runs >10 min on CPU); the
+    # grad-accum scan being covered is model-independent
     cfg = pancreas_saliency_config(
         patch_size=TINY_PATCH, base_filter=4, batch_size=2,
-        steps_per_epoch=5, base_lr=0.05,
+        steps_per_epoch=5, base_lr=0.05, depth=3, remat=False,
+        deep_supervision=False,
     )
-    trainer = SaliencyTrainer(cfg, TrainConfig(donate_state=False))
+    trainer = SaliencyTrainer(
+        cfg, TrainConfig(donate_state=False), attention=False
+    )
     state = trainer.init_state()
     imgs = rng.standard_normal((2,) + TINY_PATCH + (1,)).astype(np.float32)
     labels = np.zeros((2,) + TINY_PATCH, np.int32)
