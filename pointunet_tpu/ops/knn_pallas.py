@@ -5,12 +5,14 @@ and mask tensors in HBM for each of the 9 window offsets. This kernel fuses
 the whole per-tile pipeline in VMEM:
 
   for each query tile t (grid):
+    issue ALL 18 window DMAs [w0[t,o], w0[t,o]+W) up front (overlapped —
+      serial start/wait pairs are latency-bound), wait once
     for each of the 9 (dx, dy) offsets (unrolled):
-      DMA the contiguous support window  [w0[t,o], w0[t,o]+W) from HBM
-      distances  = matmul (T,3)x(3,W) on the MXU   (f32)
-      validity   = decoded-cell-coordinate check   (VPU)
-      stash into a (T, 9W) VMEM scoreboard
-    k-step max extraction over the scoreboard -> (T, k) indices
+      distances  = explicit difference form      (VPU, f32)
+      validity   = decoded-cell-coordinate check (VPU)
+      pack (d^2 bits | global column) into an int32 key -> (T, 9W) board
+    k-step min extraction: per step ONE min-reduce (the key carries both
+      distance and identity; no argmin pass) + one knockout sweep
 
 HBM traffic per tile is exactly the window bytes (no intermediate tensors),
 and the selection runs entirely out of VMEM. Window size is a power of two
@@ -37,6 +39,14 @@ def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
     nw = n_offsets * window
     log2w = int(math.log2(window))
     assert 1 << log2w == window, "window must be a power of two"
+    # the global column (offset * W + within-window) is packed into the low
+    # mantissa bits of the distance key; 9 * 4096 columns max keeps this at
+    # 13 bits of d^2 mantissa loss (relative quantization ~2^-10 — far
+    # below the cell-window approximation noise)
+    col_bits = max(13, log2w + 4)
+    col_mask = (1 << col_bits) - 1
+    assert nw <= col_mask + 1, "window too large for packed columns"
+    INVALID = np.int32(0x7FFFFFFF)  # python scalar: not a captured tracer
 
     def kernel(
         w0_ref,       # (nt*9,) int32 flat window starts (scalar prefetch)
@@ -46,66 +56,91 @@ def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
         sc_ref,       # (8, Ns_pad) int32 decoded support cells (HBM)
         out_idx_ref,  # (T, k) int32 (VMEM block)
         out_negd_ref, # (T, k) f32 (VMEM block)
-        rows_buf,     # (W, 3) f32 scratch
-        cells_buf,    # (W, 3) int32 scratch
-        score_ref,    # (T, nw) f32 scratch
-        sem,          # 2 DMA semaphores
+        rows_buf,     # (8, nw) f32 scratch: all 9 windows side by side
+        cells_buf,    # (8, nw) int32 scratch
+        score_ref,    # (T, nw) int32 packed-key scoreboard
+        sem,          # (18,) DMA semaphores
     ):
         t = pl.program_id(0)
         qp = qp_ref[:]                          # (T, 8), cols 3..7 zero
         qc = qc_ref[:]                          # (T, 3)
 
         offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-        for o, (dx, dy) in enumerate(offsets):
+        # issue all 18 window DMAs up front: at ~1-2 us latency each,
+        # serial start/wait pairs cost ~50 ms across the 2.8k tiles of a
+        # BraTS cloud; batched issue overlaps them all
+        copies = []
+        for o in range(n_offsets):
             # starts are pre-aligned to the 128-lane tiling on the host
             w0 = pl.multiple_of(w0_ref[t * 9 + o], 128)
             cp_rows = pltpu.make_async_copy(
-                sp_ref.at[:, pl.ds(w0, window)], rows_buf, sem.at[0]
+                sp_ref.at[:, pl.ds(w0, window)],
+                rows_buf.at[:, pl.ds(o * window, window)],
+                sem.at[2 * o],
             )
             cp_cells = pltpu.make_async_copy(
-                sc_ref.at[:, pl.ds(w0, window)], cells_buf, sem.at[1]
+                sc_ref.at[:, pl.ds(w0, window)],
+                cells_buf.at[:, pl.ds(o * window, window)],
+                sem.at[2 * o + 1],
             )
             cp_rows.start()
             cp_cells.start()
+            copies.append((cp_rows, cp_cells))
+        for cp_rows, cp_cells in copies:
             cp_rows.wait()
             cp_cells.wait()
 
-            rows = rows_buf[:]                  # (8, W), rows 3..7 zero
-            cells = cells_buf[:]                # (8, W)
+        for o, (dx, dy) in enumerate(offsets):
+            sl = slice(o * window, (o + 1) * window)
+            rows = rows_buf[:, sl]              # (8, W), rows 3..7 zero
+            cells = cells_buf[:, sl]            # (8, W)
             # explicit difference form: the matmul expansion
             # 2q.s - |q|^2 - |s|^2 cancels catastrophically under the
             # MXU's reduced f32 precision and scrambles near-tie ranks
-            negd = jnp.zeros((tile, window), jnp.float32)
+            d2 = jnp.zeros((tile, window), jnp.float32)
             for c in range(3):
                 diff = qp[:, c : c + 1] - rows[c : c + 1, :]
-                negd = negd - diff * diff       # (T, W)
+                d2 = d2 + diff * diff           # (T, W), >= 0
             valid = (
                 ((cells[0:1, :] - qc[:, 0:1]) == dx)
                 & ((cells[1:2, :] - qc[:, 1:2]) == dy)
                 & (jnp.abs(cells[2:3, :] - qc[:, 2:3]) <= 1)
             )
-            score_ref[:, o * window : (o + 1) * window] = jnp.where(
-                valid, negd, -jnp.inf
+            # packed key: f32 bits of d^2 are order-preserving for d^2>=0;
+            # low bits carry the global column so one min-reduce yields
+            # winner distance AND identity (no argmin pass)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (tile, window), 1
+            ) + (o * window)
+            key = jax.lax.bitwise_or(
+                jax.lax.bitwise_and(
+                    jax.lax.bitcast_convert_type(d2, jnp.int32),
+                    jnp.int32(~col_mask),
+                ),
+                col,
             )
+            score_ref[:, sl] = jnp.where(valid, key, INVALID)
 
-        # k-step max extraction fully in VMEM; the winning column decodes
-        # to (offset, row-within-window) by shift/mask, and the offset's
-        # window base comes from a 9-way select chain (no gathers).
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, nw), 1)
+        # k-step min extraction fully in VMEM: per step one min-reduce
+        # (winner key embeds distance + column) and one knockout sweep —
+        # 2 passes over the scoreboard instead of max/argmax/knockout's 3
         for j in range(k):
             cur = score_ref[:]
-            m = jnp.max(cur, axis=1, keepdims=True)         # (T, 1)
-            am = jnp.argmax(cur, axis=1).astype(jnp.int32)  # (T,)
-            out_negd_ref[:, j] = m[:, 0]
+            mk = jnp.min(cur, axis=1)                       # (T,) int32
+            d2q = jax.lax.bitcast_convert_type(
+                jax.lax.bitwise_and(mk, jnp.int32(~col_mask)), jnp.float32
+            )
+            # invalid keys decode to NaN (exponent all-ones) -> callers'
+            # isfinite() check keeps treating them as not-found
+            out_negd_ref[:, j] = -d2q
+            am = jax.lax.bitwise_and(mk, jnp.int32(col_mask))
             off_idx = jax.lax.shift_right_logical(am, log2w)
             within = jax.lax.bitwise_and(am, window - 1)
             base = jnp.zeros_like(am)
             for o in range(n_offsets):
                 base = jnp.where(off_idx == o, w0_ref[t * 9 + o], base)
             out_idx_ref[:, j] = base + within
-            score_ref[:] = jnp.where(
-                col_iota == am[:, None], -jnp.inf, cur
-            )
+            score_ref[:] = jnp.where(cur == mk[:, None], INVALID, cur)
 
     return kernel
 
@@ -200,10 +235,10 @@ def _knn_pallas_impl(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, window), jnp.float32),
-            pltpu.VMEM((8, window), jnp.int32),
-            pltpu.VMEM((tile, 9 * window), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((8, 9 * window), jnp.float32),
+            pltpu.VMEM((8, 9 * window), jnp.int32),
+            pltpu.VMEM((tile, 9 * window), jnp.int32),
+            pltpu.SemaphoreType.DMA((18,)),
         ],
     )
     out_idx, out_negd = pl.pallas_call(
