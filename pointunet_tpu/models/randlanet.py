@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.config import PointSegConfig
-from ..ops.gather import relative_pos_encoding
+from ..ops.gather import encode_neighbor_xyz
 from ..ops.pyramid import Pyramid
 
 _CONV_INIT = nn.initializers.truncated_normal(stddev=1e-3)
@@ -104,12 +104,20 @@ class LocalFeatureAggregation(nn.Module):
         # xyz (B, N, 3); feature (B, N, d_in = d_out//2); neigh_idx (B, N, K)
         gather = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))
 
-        f_xyz = jax.vmap(relative_pos_encoding)(xyz, neigh_idx)  # (B,N,K,10)
+        # one combined [xyz | feature] gather: TPU gather cost is per ROW
+        # (~6 ns each, width-insensitive), so fusing the position and
+        # feature lookups halves round 1's gather time (measured v5e:
+        # 36 ms vs 62 ms per level-0 round at 365k x 16)
+        table = jnp.concatenate([xyz, feature.astype(xyz.dtype)], axis=-1)
+        neigh = gather(table, neigh_idx)                     # (B,N,K,3+d/2)
+        f_xyz = jax.vmap(encode_neighbor_xyz)(
+            xyz, neigh[..., :3]
+        )                                                    # (B,N,K,10)
         f_xyz = SharedMLP(
             self.d_out // 2, momentum=self.momentum, dtype=self.dtype,
             axis_name=self.axis_name,
         )(f_xyz, train)
-        f_neigh = gather(feature, neigh_idx)                 # (B,N,K,d/2)
+        f_neigh = neigh[..., 3:].astype(feature.dtype)       # (B,N,K,d/2)
         f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)
         f_agg = AttPooling(
             self.d_out // 2, momentum=self.momentum, dtype=self.dtype,

@@ -47,6 +47,18 @@ def relative_pos_encoding(xyz: jax.Array, neigh_idx: jax.Array) -> jax.Array:
     (reference RandLANet.py:337-343).
     """
     neighbor_xyz = gather_neighbour(xyz, neigh_idx)          # (N, K, 3)
+    return encode_neighbor_xyz(xyz, neighbor_xyz)
+
+
+def encode_neighbor_xyz(xyz: jax.Array, neighbor_xyz: jax.Array) -> jax.Array:
+    """The encode half of relative_pos_encoding, on pre-gathered neighbor
+    coords: (N, 3), (N, K, 3) -> (N, K, 10).
+
+    Split out so callers that already gathered neighbor rows (e.g. the LFA
+    block's combined [xyz | feature] gather) pay the per-row gather cost
+    once — on TPU the cost is ~6 ns/row regardless of row width, so one
+    wide gather beats two narrow ones outright.
+    """
     xyz_tile = jnp.broadcast_to(
         xyz[:, None, :], neighbor_xyz.shape
     )                                                        # (N, K, 3)
