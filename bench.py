@@ -65,16 +65,83 @@ def bench_e2e(repeats: int) -> dict:
     }
 
 
+def bench_train(which: str, repeats: int) -> dict:
+    """Per-step training wall time at the reference's workload shapes.
+
+    The reference publishes no training throughput; the T4/V100-era
+    logging printed ms/batch, so ms/step is the comparable unit. The
+    north-star denominator stays the 2 s inference target for a uniform
+    vs_baseline column.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pointunet_tpu.core.config import (
+        TrainConfig,
+        brats_pointseg_config,
+        brats_saliency_config,
+    )
+
+    key = jax.random.PRNGKey(0)
+    if which == "train_saliency":
+        from pointunet_tpu.train.saliency import SaliencyTrainer
+
+        cfg = brats_saliency_config(use_bfloat16=True)
+        trainer = SaliencyTrainer(cfg, TrainConfig(donate_state=False))
+        state = trainer.init_state()
+        imgs = jax.random.normal(key, (2, 64, 160, 160, 4), jnp.float32)
+        weights = jnp.ones((2, 64, 160, 160), jnp.float32)
+        labels = jax.random.randint(key, (2, 64, 160, 160), 0, 2, jnp.int32)
+        args_ = (imgs, weights, labels)
+        metric = "saliency_train_step_ms"
+    else:
+        from pointunet_tpu.train.pointseg import PointSegTrainer
+
+        cfg = brats_pointseg_config()
+        trainer = PointSegTrainer(cfg)
+        state = trainer.init_state()
+        n = cfg.num_points
+        xyz = jax.random.uniform(key, (1, n, 3), jnp.float32)
+        feats = jnp.concatenate(
+            [xyz, jax.random.normal(key, (1, n, 4), jnp.float32)], -1
+        )
+        labels = jax.random.randint(key, (1, n), 0, 4, jnp.int32)
+        args_ = (xyz, feats, labels)
+        metric = "pointseg_train_step_ms"
+
+    state, m = trainer.train_step(state, *args_)
+    _ = float(m["loss"])
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, m = trainer.train_step(state, *args_)
+        _ = float(m["loss"])
+        times.append((time.perf_counter() - t0) * 1000)
+    value = round(float(np.median(times)), 2)
+    return {
+        "metric": metric,
+        "value": value,
+        "unit": "ms",
+        "vs_baseline": round(2000.0 / value, 3),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--preset", choices=["e2e", "pointseg", "tiny"], default="e2e"
+        "--preset",
+        choices=["e2e", "pointseg", "tiny", "train_saliency",
+                 "train_pointseg"],
+        default="e2e",
     )
     parser.add_argument("--repeats", type=int, default=5)
     args = parser.parse_args()
 
     if args.preset == "e2e":
         print(json.dumps(bench_e2e(args.repeats)))
+        return
+    if args.preset.startswith("train_"):
+        print(json.dumps(bench_train(args.preset, args.repeats)))
         return
 
     import jax
