@@ -68,3 +68,41 @@ class ChannelWiseAttention3D(nn.Module):
         att = nn.relu(nn.Dense(c // 4, kernel_init=_CONV_INIT)(att))
         att = nn.sigmoid(nn.Dense(c, kernel_init=_CONV_INIT)(att))
         return x * att[:, None, None, None, :]
+
+
+class SpatialAttention2D(nn.Module):
+    """2-D variant: two separable k=9 branches summed -> sigmoid gate tiled
+    over C (reference attention.py:53-67; unused by the 3-D pipeline but
+    part of the reference layer surface)."""
+
+    channels: int
+    kernel: int = 9
+    instance_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k, c = self.kernel, self.channels
+
+        def branch(pair_a, pair_b):
+            h = nn.Conv(c // 2, pair_a, padding="SAME",
+                        kernel_init=_CONV_INIT)(x)
+            h = NormRelu(self.instance_norm)(h, train)
+            h = nn.Conv(1, pair_b, padding="SAME", kernel_init=_CONV_INIT)(h)
+            return NormRelu(self.instance_norm)(h, train)
+
+        a1 = branch((1, k), (k, 1))
+        a2 = branch((k, 1), (1, k))
+        gate = nn.sigmoid(a1 + a2)                          # (B, H, W, 1)
+        return jnp.broadcast_to(gate, x.shape[:-1] + (c,))
+
+
+class ChannelWiseAttention2D(nn.Module):
+    """2-D channel gate (reference attention.py:69-77)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        att = jnp.mean(x, axis=(1, 2))                      # (B, C)
+        att = nn.relu(nn.Dense(c // 4, kernel_init=_CONV_INIT)(att))
+        att = nn.sigmoid(nn.Dense(c, kernel_init=_CONV_INIT)(att))
+        return x * att[:, None, None, :]
