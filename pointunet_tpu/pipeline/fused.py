@@ -99,6 +99,19 @@ class FusedPointUnet:
         self._pyramid_fn = pyramid_fn
         self._pointseg_scatter = pointseg_scatter
 
+        def volume_raw(mods, key):
+            """One volume through all four stages (un-jitted composition
+            for the vmapped data-parallel batch path)."""
+            mask = attention_mask(mods)
+            cloud = sample(mods, mask, key)
+            pyramid = pyramid_fn(cloud.xyz)
+            return pointseg_scatter(
+                pyramid, cloud.xyz, cloud.features, cloud.xyz_origin
+            )
+
+        self._volume_raw = volume_raw
+        self._batched_fn = None
+
     def segment_device(self, modalities: jax.Array, key: jax.Array):
         """(C, X, Y, Z) device array -> (Z, Y, X) uint8 labels, on device."""
         mask = self._attention_mask(modalities)
@@ -107,6 +120,32 @@ class FusedPointUnet:
         return self._pointseg_scatter(
             pyramid, cloud.xyz, cloud.features, cloud.xyz_origin
         )
+
+    def segment_batch_device(
+        self,
+        modalities: jax.Array,    # (B, C, X, Y, Z)
+        keys: jax.Array,          # (B,) folded into per-volume PRNG keys
+        mesh=None,
+    ) -> jax.Array:
+        """Data-parallel batch inference: volumes shard over the mesh's
+        data axis (GSPMD; one volume per device at B == mesh size), each
+        running the full fused pipeline. Returns (B, Z, Y, X) uint8.
+
+        The multi-chip analog of the reference's one-GPU-per-process test
+        loop — no NCCL/MPI, the mesh partitioner places the per-volume
+        programs (SURVEY §2.5).
+        """
+        if self._batched_fn is None:
+            self._batched_fn = jax.jit(jax.vmap(self._volume_raw))
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            sh = batch_sharding(mesh)
+            modalities = jax.device_put(modalities, sh)
+            keys = jax.device_put(keys, sh)
+            with mesh:
+                return self._batched_fn(modalities, keys)
+        return self._batched_fn(modalities, keys)
 
     def segment_volume(
         self, modalities: np.ndarray, seed: int = 0,

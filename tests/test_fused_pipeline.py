@@ -69,3 +69,31 @@ def test_fused_pipeline_tiny(rng):
     labels = pipe.segment_volume(mods)
     assert labels.shape == (32, 32, 16)
     assert set(np.unique(labels)) <= {0, 1, 2, 4}
+
+
+def test_fused_pipeline_batch_sharded(rng):
+    """Data-parallel fused inference over a 2-device mesh (GSPMD)."""
+    from pointunet_tpu.core import MeshConfig
+    from pointunet_tpu.parallel.mesh import make_mesh
+
+    scfg = brats_saliency_config(base_filter=4)
+    pcfg = brats_pointseg_config(num_points=2048, k_n=8)
+    k = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(k, scfg)
+    pmodel, pvars = init_randlanet(k, pcfg, num_points=2048)
+    pipe = FusedPointUnet(
+        smodel, svars, pmodel, pvars, scfg, pcfg,
+        threshold=0.9, volume_shape=(32, 32, 16),
+    )
+    mods = rng.standard_normal((2, 4, 32, 32, 16)).astype(np.float32)
+    mods[:, :, :4] = 0.0
+    mesh = make_mesh(MeshConfig(data=2, point=1), devices=jax.devices()[:2])
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    labels = pipe.segment_batch_device(jnp.asarray(mods), keys, mesh=mesh)
+    labels = np.asarray(labels)
+    assert labels.shape == (2, 16, 32, 32)
+    # must match the single-volume path volume-for-volume
+    one = np.asarray(
+        pipe.segment_device(jnp.asarray(mods[0]), keys[0])
+    )
+    np.testing.assert_array_equal(labels[0], one)
