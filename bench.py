@@ -126,11 +126,58 @@ def bench_train(which: str, repeats: int) -> dict:
     }
 
 
+def bench_e2e_parity(repeats: int) -> dict:
+    """The parity path: reference-faithful overlapping-window attention
+    (12 windows, eval.py:103-193 numerics) + host context-aware sampling +
+    on-device point segmentation. Slower than the fused path by design —
+    this is what `segment` runs without --fast.
+
+    Measured breakdown on the axon-relay chip: ~10 s of the wall time is
+    the 143 MB host->device volume upload through the tunnel (~14 MB/s);
+    on a directly-attached host that transfer is ~15 ms and the path runs
+    in ~4 s (attention windows 1.7 s, host sampling 1.3 s, point-seg +
+    scatter 0.8 s)."""
+    import jax
+
+    from pointunet_tpu.core.config import (
+        brats_pointseg_config,
+        brats_saliency_config,
+    )
+    from pointunet_tpu.models.randlanet import init_randlanet
+    from pointunet_tpu.models.saliency_unet import init_saliency_unet
+    from pointunet_tpu.pipeline.end2end import PointUnetPipeline
+
+    scfg = brats_saliency_config(use_bfloat16=True)
+    pcfg = brats_pointseg_config()
+    rng = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(rng, scfg)
+    pmodel, pvars = init_randlanet(rng, pcfg)
+    pipe = PointUnetPipeline(smodel, svars, pmodel, pvars, scfg, pcfg)
+
+    nprng = np.random.default_rng(0)
+    mods = nprng.standard_normal((4, 240, 240, 155)).astype(np.float32)
+    mods *= (nprng.uniform(size=(240, 240, 155)) < 0.35)[None]
+
+    _ = pipe.segment_volume(mods)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = pipe.segment_volume(mods)
+        times.append((time.perf_counter() - t0) * 1000)
+    value = round(float(np.median(times)), 2)
+    return {
+        "metric": "brats_e2e_parity_volume_ms",
+        "value": value,
+        "unit": "ms",
+        "vs_baseline": round(2000.0 / value, 3),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--preset",
-        choices=["e2e", "pointseg", "tiny", "train_saliency",
+        choices=["e2e", "e2e_parity", "pointseg", "tiny", "train_saliency",
                  "train_pointseg"],
         default="e2e",
     )
@@ -139,6 +186,9 @@ def main():
 
     if args.preset == "e2e":
         print(json.dumps(bench_e2e(args.repeats)))
+        return
+    if args.preset == "e2e_parity":
+        print(json.dumps(bench_e2e_parity(args.repeats)))
         return
     if args.preset.startswith("train_"):
         print(json.dumps(bench_train(args.preset, args.repeats)))

@@ -75,6 +75,17 @@ class PointUnetPipeline:
                 scfg.num_class,
             )
 
+        @jax.jit
+        def binary_mask_xyz(volume_dhwc, threshold):
+            """Thresholded salient mask, on device, already transposed to
+            (X, Y, Z): segment_volume needs only the binary map, and
+            downloading uint8 is 32x cheaper than the (D,H,W,C) f32
+            probability volume (286 MB for BraTS)."""
+            probs = attention_probs(volume_dhwc)[..., 1]
+            return jnp.transpose(probs >= threshold, (2, 1, 0)).astype(
+                jnp.uint8
+            )
+
         # pyramid and network are separate XLA programs (layout cliff when
         # fused — see train/pointseg.py:_build_steps); both device-resident.
         @jax.jit
@@ -96,8 +107,24 @@ class PointUnetPipeline:
         def pointseg_probs(xyz, feats):
             return pointseg_forward(pyramid_fn(xyz), xyz, feats)
 
+        @functools.partial(jax.jit, static_argnames=("shape", "brats"))
+        def scatter_argmax(probs, origin, shape, brats):
+            """Scatter + argmax + label remap on device: the host only
+            downloads (Z, Y, X) uint8 labels, not the (Z, Y, X, C) f32
+            probability volume (570 MB for BraTS — transfer-bound on any
+            host, catastrophic through a relay)."""
+            vol = scatter_probs_to_volume(probs, origin, shape)
+            labels = jnp.argmax(vol, axis=-1).astype(jnp.uint8)
+            if brats:
+                labels = jnp.where(
+                    labels == 3, jnp.uint8(4), labels
+                )
+            return labels
+
         self._attention_probs = attention_probs
+        self._binary_mask_xyz = binary_mask_xyz
         self._pointseg_probs = pointseg_probs
+        self._scatter_argmax = scatter_argmax
 
     # -------------------------------------------------------------- #
 
@@ -135,7 +162,12 @@ class PointUnetPipeline:
         """Full pipeline -> (X, Y, Z) label volume."""
         modalities = np.asarray(modalities, np.float32)
         if mask is None:
-            mask = self.binary_map(modalities)
+            vol = np.transpose(modalities, (3, 2, 1, 0))   # (Z, Y, X, C)
+            mask = np.asarray(
+                self._binary_mask_xyz(
+                    jnp.asarray(vol), jnp.float32(self.threshold)
+                )
+            )
 
         cloud = volume_to_points(modalities)
         fg = mask[
@@ -144,17 +176,18 @@ class PointUnetPipeline:
         sampled = sample_cloud(
             cloud, self.pcfg.num_points, self._rng, foreground=fg
         )
-        probs = self.segment_points(sampled)
+        # stay on device between point segmentation and scatter-back
+        probs = self._pointseg_probs(
+            jnp.asarray(sampled.xyz), jnp.asarray(sampled.features)
+        )
 
         x, y, z = modalities.shape[1:]
-        vol = np.asarray(
-            scatter_probs_to_volume(
-                jnp.asarray(probs), jnp.asarray(sampled.xyz_origin), (z, y, x)
+        labels = np.asarray(
+            self._scatter_argmax(
+                probs, jnp.asarray(sampled.xyz_origin),
+                (z, y, x), brats_labels,  # remap 3->4: genSegmentationBraTS
             )
-        )                                      # (Z, Y, X, C)
-        labels = vol.argmax(-1).astype(np.uint8)
-        if brats_labels:
-            labels[labels == 3] = 4            # reference genSegmentationBraTS
+        )                                      # (Z, Y, X) uint8
         labels = np.transpose(labels, (2, 1, 0))  # (X, Y, Z)
         if postprocess and brats_labels:
             from .postprocess import postprocess_brats
