@@ -170,4 +170,7 @@ class TrainConfig:
     donate_state: bool = True
     debug_nans: bool = False
     profile_dir: str = ""
+    # background host prefetch depth for batch iterators (the tensorpack
+    # QueueInput role, reference train.py:270); 0 disables
+    prefetch_buffers: int = 4
     mesh: MeshConfig = field(default_factory=MeshConfig)

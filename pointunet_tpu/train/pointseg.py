@@ -206,10 +206,15 @@ class PointSegTrainer:
         (reference RandLANet.py:156-206)."""
         from ..core.debug import StepTimer, format_eta
 
+        from ..data.prefetch import prefetch
+
         timer = StepTimer(self.cfg.max_epoch * max(self.cfg.train_steps, 1))
         for epoch in range(self.cfg.max_epoch):
             log(f"****EPOCH {epoch}****")
-            for i, (xyz, feats, labels) in enumerate(train_epoch_iter()):
+            epoch_iter = prefetch(
+                train_epoch_iter(), self.tcfg.prefetch_buffers
+            )
+            for i, (xyz, feats, labels) in enumerate(epoch_iter):
                 xyz, feats, labels = self.shard_batch(xyz, feats, labels)
                 state, m = self.train_step(state, xyz, feats, labels)
                 if (i + 1) % self.tcfg.log_every == 0:

@@ -286,6 +286,9 @@ class SaliencyTrainer:
         total = max_steps or cfg.steps_per_epoch * cfg.max_epoch
         best = -1.0
         t0 = time.time()
+        from ..data.prefetch import prefetch
+
+        batch_iter = prefetch(batch_iter, self.tcfg.prefetch_buffers)
         for i, (images, weights, labels) in enumerate(batch_iter):
             if i >= total:
                 break
