@@ -62,8 +62,16 @@ def build_pyramid(
     """
     xyzs, neighs, subs, ups = [], [], [], []
     cur = xyz.astype(jnp.float32)
-    for r in ratios:
+    for i, r in enumerate(ratios):
         n_sub = cur.shape[0] // r
+        if n_sub < 1:
+            import math
+
+            raise ValueError(
+                f"num_points={xyz.shape[0]} empties the pyramid at level "
+                f"{i} (ratios {tuple(ratios)}); need at least "
+                f"{math.prod(ratios)} points"
+            )
         neigh = _search(cur, cur, k, exact)
         sub_points = cur[:n_sub]
         xyzs.append(cur)
