@@ -53,7 +53,13 @@ def convert_case(
             seg = ndimage.zoom(seg, (down_scale,) * 3, order=0)
 
     ct = np.clip(ct, lower, upper)
-    return ct, seg
+    # output voxel size: z resampled to slice_thickness, all axes divided
+    # by the down-scale zoom (fewer voxels -> larger spacing)
+    sx, sy, _ = ct_img.spacing[:3]
+    out_spacing = (
+        sx / down_scale, sy / down_scale, slice_thickness / down_scale
+    )
+    return ct, seg, out_spacing
 
 
 def main(argv=None):
@@ -82,19 +88,25 @@ def main(argv=None):
             if args.seg_path
             else None
         )
-        ct, seg = convert_case(
+        ct, seg, spacing = convert_case(
             os.path.join(args.ct_path, fname), seg_file,
             args.slice_thickness, args.down_scale, args.lower, args.upper,
         )
         out_name = fname if fname.endswith(".gz") else fname + ".gz"
-        # back to (X, Y, Z) for storage
+        affine = np.diag(list(spacing) + [1.0]).astype(np.float32)
+        # back to (X, Y, Z) for storage; voxel spacing survives the resample
         nifti.save(
-            np.transpose(ct, (2, 1, 0)).astype(np.float32),
+            nifti.Nifti1Image(
+                np.transpose(ct, (2, 1, 0)).astype(np.float32),
+                affine, spacing,
+            ),
             os.path.join(args.out_ct_path, out_name),
         )
         if seg is not None and args.out_seg_path:
             nifti.save(
-                np.transpose(seg, (2, 1, 0)),
+                nifti.Nifti1Image(
+                    np.transpose(seg, (2, 1, 0)), affine, spacing
+                ),
                 os.path.join(
                     args.out_seg_path,
                     out_name.replace("PANCREAS_", "label"),

@@ -27,7 +27,8 @@ STRIDE_TUMOR = 4
 TUMOR_FRACTION = 1.0 / 20.0
 
 
-def block_to_points(volume, label, weight, n_points, origin=(0, 0, 0)):
+def block_to_points(volume, label, weight, n_points, origin=(0, 0, 0),
+                    rng=None):
     """(C, 64, 64, 64) block -> fixed-budget cloud (xyz int, feats, labels)."""
     mask = weight != 0
     coords = np.argwhere(mask).astype(np.float32)
@@ -37,13 +38,20 @@ def block_to_points(volume, label, weight, n_points, origin=(0, 0, 0)):
     labels = label[mask].astype(np.uint8)
     coords += np.asarray(origin, np.float32)
 
-    # duplicate-pad to the fixed budget (reference process_tf.py:554-563)
     n = coords.shape[0]
-    reps = max(n_points // n, 1)
-    extra = n_points - reps * n
-    sel = np.concatenate(
-        [np.tile(np.arange(n), reps), np.arange(max(extra, 0))]
-    )[:n_points]
+    if n > n_points:
+        # random subsample — truncating to the first n_points voxels in
+        # scan order would systematically drop the high-z end of every
+        # oversized block
+        rng = rng or np.random.default_rng(0)
+        sel = rng.choice(n, n_points, replace=False)
+    else:
+        # duplicate-pad to the fixed budget (reference process_tf.py:554-563)
+        reps = max(n_points // n, 1)
+        extra = n_points - reps * n
+        sel = np.concatenate(
+            [np.tile(np.arange(n), reps), np.arange(max(extra, 0))]
+        )[:n_points]
     return coords[sel], feats[sel], labels[sel]
 
 
@@ -55,15 +63,21 @@ def process_case(case_dir, out_dir, n_points, index_list):
     weight = rec.weight
     x_axis, y_axis, z_axis = label.shape
 
-    stride = STRIDE
+    rng = np.random.default_rng(abs(hash(case_id)) % (2 ** 31))
     count = tumor = 0
+    # per-axis strides: each loop's advance depends only on density seen in
+    # its own sweep — a single shared stride would let one tumor-dense
+    # block at the end of a z-column re-tile whole unrelated rows/planes
     x = 0
     while x <= max(x_axis - 1, 0):
         xb = min(x, max(x_axis - BLOCK, 0))
         y = 0
+        dense_in_plane = False
         while y <= max(y_axis - 1, 0):
             yb = min(y, max(y_axis - BLOCK, 0))
             z = 0
+            dense_in_column = False
+            stride_z = STRIDE
             while z <= max(z_axis - 1, 0):
                 zb = min(z, max(z_axis - BLOCK, 0))
                 sl = (
@@ -75,7 +89,9 @@ def process_case(case_dir, out_dir, n_points, index_list):
                 if wblk.max() != 0:
                     vblk = volume[(slice(None),) + sl]
                     lblk = label[sl]
-                    pts = block_to_points(vblk, lblk, wblk, n_points)
+                    pts = block_to_points(
+                        vblk, lblk, wblk, n_points, rng=rng
+                    )
                     if pts is not None:
                         name = f"{case_id}_xyz_{xb}_{yb}_{zb}.ply"
                         xyz, feats, labels = pts
@@ -89,14 +105,13 @@ def process_case(case_dir, out_dir, n_points, index_list):
                         count += 1
                         n_tumor = int((lblk > 0).sum())
                         tumor += n_tumor > 0
-                        stride = (
-                            STRIDE_TUMOR
-                            if n_tumor >= BLOCK ** 3 * TUMOR_FRACTION
-                            else STRIDE
-                        )
-                z += stride
-            y += stride
-        x += stride
+                        dense = n_tumor >= BLOCK ** 3 * TUMOR_FRACTION
+                        stride_z = STRIDE_TUMOR if dense else STRIDE
+                        dense_in_column |= dense
+                z += stride_z
+            dense_in_plane |= dense_in_column
+            y += STRIDE_TUMOR if dense_in_column else STRIDE
+        x += STRIDE_TUMOR if dense_in_plane else STRIDE
     print(f"{case_id}: {count} blocks ({tumor} with tumor)")
 
 

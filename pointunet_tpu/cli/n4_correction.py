@@ -73,11 +73,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     use_ants = shutil.which("N4BiasFieldCorrection") is not None
-    if not use_ants and args.skip_without_ants:
-        raise SystemExit(
-            "N4BiasFieldCorrection (ANTs) not found; install ANTs or drop "
-            "--skip_without_ants to use the polynomial fallback"
-        )
+    # --skip_without_ants: without ANTs, pass volumes through uncorrected
+    # instead of applying the polynomial fallback
+    skip_correction = not use_ants and args.skip_without_ants
 
     from ..data.loader import BRATS_MODALITIES, find_brats_cases
 
@@ -90,7 +88,7 @@ def main(argv=None):
             if not os.path.exists(src):
                 continue
             dst = os.path.join(out_case, f"{case_id}_{mod}.nii.gz")
-            if mod in CORRECT:
+            if mod in CORRECT and not skip_correction:
                 how = correct_file(src, dst, use_ants)
                 print(f"{case_id}_{mod}: corrected ({how})")
             else:

@@ -28,6 +28,15 @@ class BestMetricCheckpointer:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        # best checkpoints are pinned in their own single-slot manager:
+        # the rolling max_to_keep window above would otherwise evict the
+        # step best.json points at once enough later snapshots accumulate
+        self._best_mngr = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True
+            ),
+        )
         self._meta_path = os.path.join(self.directory, "best.json")
 
     def save(self, state: Any, step: int, metric: float | None = None):
@@ -35,6 +44,8 @@ class BestMetricCheckpointer:
         self._mngr.save(step, args=ocp.args.StandardSave(state))
         self._mngr.wait_until_finished()
         if metric is not None:
+            self._best_mngr.save(step, args=ocp.args.StandardSave(state))
+            self._best_mngr.wait_until_finished()
             with open(self._meta_path, "w") as f:
                 json.dump({"step": step, "metric": float(metric)}, f)
 
@@ -68,7 +79,18 @@ class BestMetricCheckpointer:
         step = self.best_step()
         if step is None:
             return self.restore_latest(template)
+        if self._best_mngr.latest_step() == step:
+            target = jax.tree_util.tree_map(np.asarray, template)
+            restored = self._best_mngr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
+            return jax.tree_util.tree_map(
+                lambda t, r: type(t)(r) if np.isscalar(t) else r,
+                template, restored,
+                is_leaf=lambda x: not isinstance(x, (dict, list, tuple)),
+            )
         return self.restore(step, template)
 
     def close(self):
         self._mngr.close()
+        self._best_mngr.close()

@@ -269,6 +269,7 @@ class UNet3D(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.config
         inorm, ax = cfg.instance_norm, self.axis_name
+        dt = jnp.bfloat16 if cfg.use_bfloat16 else None
         filters = [
             cfg.base_filter * (2 ** d) if cfg.filter_grow else cfg.base_filter
             for d in range(cfg.depth)
@@ -281,13 +282,14 @@ class UNet3D(nn.Module):
 
         deep_supervision = None
         for d in range(cfg.depth - 2, -1, -1):
-            layer = Up(2, filters[d], inorm, ax)(layer, train)
+            layer = Up(2, filters[d], inorm, ax, dt)(layer, train)
             layer = jnp.concatenate([layer, down[d]], axis=-1)
             layer = CNR(
-                filters[d], instance_norm=inorm, axis_name=ax
+                filters[d], instance_norm=inorm, dtype=dt, axis_name=ax
             )(layer, train)
             layer = CNR(
-                filters[d], kernel=(1, 1, 1), instance_norm=inorm, axis_name=ax
+                filters[d], kernel=(1, 1, 1), instance_norm=inorm,
+                dtype=dt, axis_name=ax,
             )(layer, train)
             if cfg.deep_supervision and 0 < d < 3:
                 pred = FastConv(

@@ -28,11 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _grid_resolution(n_support: int, alpha: float) -> int:
-    """Cells per axis: ~alpha^-3 support points per cell on average for a
-    unit-cube cloud."""
-    r = int(math.ceil(n_support ** (1.0 / 3.0) / alpha))
-    return max(r, 2)
+# single source for the cells-per-axis policy shared by all grid variants
+from .knn_window import _grid_resolution  # noqa: E402
 
 
 @functools.partial(

@@ -145,6 +145,13 @@ def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
     return kernel
 
 
+# NOTE: the sort/cell/window-start bookkeeping below intentionally
+# re-specializes (rather than reuses) knn_window's: the kernel needs
+# transposed (8, N) coordinate layouts, 128-lane-aligned window starts,
+# and 3-column decoded cells — none of which the XLA path wants. The
+# shared policy (cells per axis) lives in knn_window._grid_resolution;
+# recall equivalence of the two paths is pinned by tests/test_knn_window
+# and the TPU recall checks.
 @functools.partial(
     jax.jit,
     static_argnames=("k", "resolution", "tile", "window"),

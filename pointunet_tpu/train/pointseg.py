@@ -173,15 +173,26 @@ class PointSegTrainer:
             (self.cfg.num_classes, self.cfg.num_classes), np.int64
         )
         correct = seen = 0
+        ignored = tuple(self.cfg.ignored_label_inds)
+        # predictions live in the ignored-collapsed class space (the loss
+        # remaps labels, models/losses.py _valid_mask_and_remap) — apply
+        # the same remap to raw labels before comparing
+        total = self.cfg.num_classes + len(ignored)
+        remap = np.zeros(total, np.int64)
+        nxt = 0
+        for lab_val in range(total):
+            if lab_val not in ignored:
+                remap[lab_val] = nxt
+                nxt += 1
         for xyz, feats, labels in val_iter:
             xyz, feats, labels = self.shard_batch(xyz, feats, labels)
             probs = np.asarray(self.eval_step(state, xyz, feats, labels))
             pred = probs.argmax(-1).reshape(-1)
             lab = np.asarray(labels).reshape(-1)
             valid = np.ones_like(lab, bool)
-            for ign in self.cfg.ignored_label_inds:
+            for ign in ignored:
                 valid &= lab != ign
-            pred, lab = pred[valid], lab[valid]
+            pred, lab = pred[valid], remap[lab[valid]]
             conf += confusion_matrix(lab, pred, self.cfg.num_classes)
             correct += int((pred == lab).sum())
             seen += lab.size

@@ -13,6 +13,7 @@ SaliencyAttention/train.py:44-118, 263-296):
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Callable, Iterable, NamedTuple, Optional
 
@@ -65,14 +66,20 @@ class SaliencyTrainer:
             enable_nan_trap(True)
         self._schedule = self._make_schedule()
         self._tx_template = None
+        self._predict_cache = {}
         self._build_steps()
 
     def _make_schedule(self):
         cfg = self.cfg
-        boundaries = {
-            int(epoch * cfg.steps_per_epoch): value / cfg.base_lr
-            for epoch, value in cfg.lr_schedule
-        }
+        # optax.piecewise_constant_schedule multiplies the scales passed at
+        # each boundary CUMULATIVELY, so each boundary's scale must be the
+        # ratio to the PREVIOUS value, not to base_lr — otherwise the lr
+        # collapses (e.g. 5e-5 instead of 5e-4 after the second drop)
+        prev = cfg.base_lr
+        boundaries = {}
+        for epoch, value in cfg.lr_schedule:
+            boundaries[int(epoch * cfg.steps_per_epoch)] = value / prev
+            prev = value
         return optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
 
     def _make_tx(self, params):
@@ -189,13 +196,6 @@ class SaliencyTrainer:
         of a per-shape compile.
         """
         cfg = self.cfg
-
-        def model_fn(window):
-            logits, _ = self._apply(
-                state.params, state.batch_stats, window, train=False
-            )
-            return jax.nn.softmax(logits, axis=-1)
-
         if dynamic_shape:
             patch = tuple(
                 max(((s + 15) // 16) * 16, p)
@@ -205,16 +205,34 @@ class SaliencyTrainer:
         else:
             patch = tuple(cfg.inference_patch_size)
 
-        fn = jax.jit(
-            lambda v: sliding_window_inference(
-                v,
-                model_fn,
-                patch,
-                (cfg.xstep, cfg.ystep, cfg.zstep),
-                cfg.num_class,
+        # jit caches by function identity: memoize per patch size so eval
+        # over N volumes compiles once per shape, not once per volume
+        fn = self._predict_cache.get(patch)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._sliding_window, patch=patch
+                )
             )
+            self._predict_cache[patch] = fn
+        return np.asarray(
+            fn(volume_dhwc, state.params, state.batch_stats)
         )
-        return np.asarray(fn(volume_dhwc))
+
+    def _sliding_window(self, volume, params, batch_stats, *, patch):
+        cfg = self.cfg
+
+        def model_fn(window):
+            logits, _ = self._apply(params, batch_stats, window, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        return sliding_window_inference(
+            volume,
+            model_fn,
+            patch,
+            (cfg.xstep, cfg.ystep, cfg.zstep),
+            cfg.num_class,
+        )
 
     # view transposes (reference utils.transpose_volumes + the inverse
     # transposes in segment_one_image, eval.py:370-378)

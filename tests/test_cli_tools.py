@@ -20,11 +20,14 @@ def test_cvt_ct_resamples_z(tmp_path, rng):
     loaded = nifti.load(path)
     assert abs(loaded.spacing[2] - 2.5) < 1e-6
 
-    out_ct, out_seg = convert_case(path, None, slice_thickness=1.0)
+    out_ct, out_seg, out_spacing = convert_case(
+        path, None, slice_thickness=1.0
+    )
     # z axis (first array axis after transpose) scaled by 2.5x
     assert out_ct.shape[0] == 25
     assert out_ct.max() <= 240.0 and out_ct.min() >= -100.0
     assert out_seg is None
+    assert out_spacing == (1.0, 1.0, 1.0)  # resampled voxel size survives
 
 
 def test_make_folds_partition():

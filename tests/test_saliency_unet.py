@@ -105,3 +105,23 @@ def test_saliency_train_step_grad_accum(rng):
         )
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_lr_schedule_values():
+    """Stepped schedule must hit the configured absolute values (optax
+    piecewise scales compose multiplicatively - regression for the
+    cumulative-collapse bug)."""
+    from pointunet_tpu.core import TrainConfig
+    from pointunet_tpu.train.saliency import SaliencyTrainer
+
+    cfg = pancreas_saliency_config(
+        patch_size=TINY_PATCH, base_filter=4, depth=3, remat=False,
+        deep_supervision=False, steps_per_epoch=10,
+    )
+    trainer = SaliencyTrainer(
+        cfg, TrainConfig(donate_state=False), attention=False
+    )
+    sched = trainer._schedule
+    for epoch, expect in cfg.lr_schedule:
+        got = float(sched(epoch * cfg.steps_per_epoch + 1))
+        assert abs(got - expect) / expect < 1e-5, (epoch, got, expect)
