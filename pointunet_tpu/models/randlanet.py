@@ -176,18 +176,40 @@ class DilatedResBlock(nn.Module):
         return nn.leaky_relu(f_pc + shortcut, negative_slope=0.2)
 
 
-def _max_pool(feature: jax.Array, pool_idx: jax.Array) -> jax.Array:
-    """(B, N, d), (B, M, K) -> (B, M, d) max over gathered neighbors."""
-    return jax.vmap(
-        lambda f, i: jnp.max(jnp.take(f, i, axis=0), axis=1)
-    )(feature, pool_idx)
+def _max_pool(
+    feature: jax.Array,    # (B, N, d) level-i features
+    pool_idx: jax.Array,   # (B, M, K) neighbor rows of the kept points
+    xyz: jax.Array,        # (B, N, 3) level-i coords (decimation is prefix
+                           # slicing, so query coords are xyz[:, :M])
+) -> jax.Array:
+    """(B, M, d) max over gathered neighbors; windowed-VJP gather."""
+    m = pool_idx.shape[1]
+    out = [
+        jnp.max(
+            windowed_gather(
+                feature[b], pool_idx[b], xyz[b], xyz[b, :m]
+            ),
+            axis=1,
+        )
+        for b in range(feature.shape[0])
+    ]
+    return jnp.stack(out)
 
 
-def _interp(feature: jax.Array, interp_idx: jax.Array) -> jax.Array:
-    """(B, M, d), (B, N, 1) -> (B, N, d) nearest-neighbor upsample."""
-    return jax.vmap(
-        lambda f, i: jnp.take(f, i.reshape(-1), axis=0)
-    )(feature, interp_idx)
+def _interp(
+    feature: jax.Array,     # (B, M, d) coarse-level features
+    interp_idx: jax.Array,  # (B, N, 1) 1-NN rows into the coarse level
+    xyz: jax.Array,         # (B, N, 3) fine-level coords (coarse = prefix)
+) -> jax.Array:
+    """(B, N, d) nearest-neighbor upsample; windowed-VJP gather."""
+    m = feature.shape[1]
+    out = [
+        windowed_gather(
+            feature[b], interp_idx[b].reshape(-1, 1), xyz[b, :m], xyz[b]
+        )[:, 0]
+        for b in range(feature.shape[0])
+    ]
+    return jnp.stack(out)
 
 
 class RandLANet(nn.Module):
@@ -227,7 +249,7 @@ class RandLANet(nn.Module):
             )(
                 pyramid.xyz[i], feature, pyramid.neigh_idx[i], train
             )
-            f_sampled = _max_pool(f_enc, pyramid.sub_idx[i])
+            f_sampled = _max_pool(f_enc, pyramid.sub_idx[i], pyramid.xyz[i])
             feature = f_sampled
             if i == 0:
                 skips.append(f_enc)
@@ -241,7 +263,9 @@ class RandLANet(nn.Module):
 
         # Decoder (reference RandLANet.py:136-143)
         for j in range(cfg.num_layers):
-            f_interp = _interp(feature, pyramid.interp_idx[-j - 1])
+            f_interp = _interp(
+                feature, pyramid.interp_idx[-j - 1], pyramid.xyz[-j - 1]
+            )
             f_cat = jnp.concatenate([skips[-j - 2], f_interp], axis=-1)
             feature = SharedMLP(
                 skips[-j - 2].shape[-1], momentum=cfg.bn_momentum, dtype=dt,
