@@ -65,6 +65,155 @@ def bench_e2e(repeats: int) -> dict:
     }
 
 
+def _synth_brats_volume(rng, shape):
+    """Synthetic BraTS-like case: 4 modalities, nested tumor (NCR=1 core,
+    ED=2 ring, ET=3 enhancing) inside a noisy brain mask. Model label
+    space {0..3}; reference truth labels remap 3->4 at scoring time."""
+    x, y, z = shape
+    seg = np.zeros(shape, np.int32)
+    cx = rng.integers(x // 3, 2 * x // 3)
+    cy = rng.integers(y // 3, 2 * y // 3)
+    cz = rng.integers(z // 3, 2 * z // 3)
+    xx, yy, zz = np.meshgrid(
+        np.arange(x), np.arange(y), np.arange(z), indexing="ij"
+    )
+    d2 = (xx - cx) ** 2 + (yy - cy) ** 2 + ((zz - cz) * 1.5) ** 2
+    r = min(x, y) // 6
+    seg[d2 < (2.2 * r) ** 2] = 2          # edema
+    seg[d2 < (1.4 * r) ** 2] = 1          # necrotic core
+    seg[d2 < (0.8 * r) ** 2] = 3          # enhancing
+    brain = np.zeros(shape, bool)
+    brain[4:-4, 4:-4, 2:-2] = True
+    mods = rng.standard_normal((4,) + shape).astype(np.float32) * 0.2
+    mods[:, brain] += 1.0
+    for lab, boost in ((2, 1.5), (1, 2.5), (3, 4.0)):
+        mods[:, seg == lab] += boost
+    mods[:, ~brain] = 0.0
+    seg[~brain] = 0
+    return mods, seg
+
+
+def bench_accuracy(args) -> dict:
+    """Dice evidence next to the latency number (VERDICT r1 item 4): train
+    both stages on a reduced-but-realistic synthetic BraTS task, run the
+    FUSED pipeline on held-out volumes, report WT/TC/ET Dice + latency.
+
+    This measures that the end-to-end TPU pipeline (attention -> on-device
+    sampling -> Pallas pyramid -> RandLA-Net -> scatter) learns and
+    segments, not just that it is fast. Real-BraTS parity still requires
+    the real dataset (not in this environment); vs_baseline divides by the
+    reference's BraTS20 offline-val mean Dice 0.8302 (BASELINE.md) with
+    that caveat.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pointunet_tpu.core.config import (
+        TrainConfig,
+        brats_pointseg_config,
+        brats_saliency_config,
+    )
+    from pointunet_tpu.data.sampler import VolumeRecord, patch_batches
+    from pointunet_tpu.pipeline.fused import FusedPointUnet
+    from pointunet_tpu.ops.sampling import sample_cloud_device
+    from pointunet_tpu.train.metrics import brats_region_dice
+    from pointunet_tpu.train.pointseg import PointSegTrainer
+    from pointunet_tpu.train.saliency import SaliencyTrainer
+
+    shape = (96, 96, 64)                   # (X, Y, Z)
+    n_points = 65_536
+    rng = np.random.default_rng(0)
+    train_vols = [_synth_brats_volume(rng, shape) for _ in range(4)]
+    test_vols = [_synth_brats_volume(rng, shape) for _ in range(2)]
+
+    # ---- stage 1: attention U-Net, patch (D,H,W)=(32,96,96) ----
+    scfg = brats_saliency_config(
+        patch_size=(32, 96, 96), batch_size=1, base_lr=0.01,
+        use_bfloat16=jax.default_backend() == "tpu",
+    )
+    strainer = SaliencyTrainer(scfg, TrainConfig(donate_state=False))
+    sstate = strainer.init_state()
+    records = []
+    for mods, seg in train_vols:
+        vol = np.transpose(mods, (0, 3, 2, 1))          # (C, Z, Y, X)
+        lab = (np.transpose(seg, (2, 1, 0)) > 0).astype(np.int32)
+        records.append(
+            VolumeRecord(vol, np.ones_like(lab, np.float32), lab)
+        )
+    batches = patch_batches(
+        records, scfg.patch_size, scfg.batch_size,
+        np.random.default_rng(1), "one_positive",
+    )
+    for k, (im, w, lab) in zip(range(args.saliency_steps), batches):
+        sstate, m = strainer.train_step(
+            sstate, jnp.asarray(im), jnp.asarray(w), jnp.asarray(lab)
+        )
+    saliency_loss = float(m["loss"])
+
+    # ---- stage 3: RandLA-Net on context-sampled clouds ----
+    pcfg = brats_pointseg_config(num_points=n_points, learning_rate=1e-3)
+    ptrainer = PointSegTrainer(
+        pcfg, TrainConfig(donate_state=False), num_points=n_points
+    )
+    pstate = ptrainer.init_state()
+    clouds = []
+    for i, (mods, seg) in enumerate(train_vols):
+        clouds.append(sample_cloud_device(
+            jnp.asarray(mods), jnp.asarray((seg > 0).astype(np.uint8)),
+            jax.random.PRNGKey(i), n_points, labels=jnp.asarray(seg),
+        ))
+    for k in range(args.pointseg_steps):
+        c = clouds[k % len(clouds)]
+        feats = jnp.concatenate([c.xyz, c.features], -1)[None]
+        pstate, m = ptrainer.train_step(
+            pstate, c.xyz[None], feats, c.labels[None]
+        )
+    pointseg_loss = float(m["loss"])
+
+    # ---- fused pipeline on held-out volumes ----
+    import jax.tree_util as jtu
+    from flax import core as flax_core
+
+    def to_vars(state):
+        v = {"params": state.params}
+        if jtu.tree_leaves(state.batch_stats):
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    pipe = FusedPointUnet(
+        strainer.model, to_vars(sstate), ptrainer.model, to_vars(pstate),
+        scfg, pcfg, threshold=0.5, volume_shape=shape,
+    )
+    dices = []
+    lat = []
+    for i, (mods, seg) in enumerate(test_vols):
+        t0 = time.perf_counter()
+        pred = pipe.segment_volume(mods, seed=100 + i)   # reference labels
+        lat.append((time.perf_counter() - t0) * 1000)
+        truth = np.where(seg == 3, 4, seg)
+        dices.append(brats_region_dice(pred, truth))
+    wt = float(np.mean([d["WT"] for d in dices]))
+    tc = float(np.mean([d["TC"] for d in dices]))
+    et = float(np.mean([d["ET"] for d in dices]))
+    mean_dice = float(np.mean([wt, tc, et]))
+    return {
+        "metric": "brats_synth_fused_dice_mean",
+        "value": round(mean_dice, 4),
+        "unit": "dice",
+        "vs_baseline": round(mean_dice / 0.8302, 3),
+        "dice_wt": round(wt, 4),
+        "dice_tc": round(tc, 4),
+        "dice_et": round(et, 4),
+        "latency_ms_median": round(float(np.median(lat)), 1),
+        "saliency_final_loss": round(saliency_loss, 4),
+        "pointseg_final_loss": round(pointseg_loss, 4),
+        "volume_shape": list(shape),
+        "n_points": n_points,
+        "note": "synthetic nested-tumor task, held-out volumes; "
+        "vs_baseline divides by reference BraTS20 offline mean dice",
+    }
+
+
 def bench_train(which: str, repeats: int) -> dict:
     """Per-step training wall time at the reference's workload shapes.
 
@@ -178,14 +327,19 @@ def main():
     parser.add_argument(
         "--preset",
         choices=["e2e", "e2e_parity", "pointseg", "tiny", "train_saliency",
-                 "train_pointseg"],
+                 "train_pointseg", "accuracy"],
         default="e2e",
     )
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--saliency_steps", type=int, default=150)
+    parser.add_argument("--pointseg_steps", type=int, default=150)
     args = parser.parse_args()
 
     if args.preset == "e2e":
         print(json.dumps(bench_e2e(args.repeats)))
+        return
+    if args.preset == "accuracy":
+        print(json.dumps(bench_accuracy(args)))
         return
     if args.preset == "e2e_parity":
         print(json.dumps(bench_e2e_parity(args.repeats)))

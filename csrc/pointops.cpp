@@ -144,6 +144,66 @@ void pointops_knn_batch(const float* support, const float* query, int b,
                  out + (size_t)i * nq * k);
 }
 
+// Coverage-greedy query picking + KNN (equivalent role to the reference's
+// cpp_knn_batch_distance_pick, knn_.cxx:138-270): repeatedly pick a random
+// point among the least-covered ones, emit it and its k nearest neighbors,
+// and raise the coverage count of those neighbors so later picks spread
+// over the cloud. Deterministic via an explicit seed (the reference seeded
+// from time(0)). out_queries (nq, 3) f32, out_idx (nq, k) int32.
+void pointops_knn_distance_pick(const float* points, int n, int nq, int k,
+                                uint64_t seed, float* out_queries,
+                                int32_t* out_idx) {
+  if (n <= 0 || nq <= 0 || k <= 0) return;
+  int kk = std::min(k, n);
+  KDTree tree(points, n);
+  std::vector<int> used(n, 0);
+  uint64_t rng = seed ? seed : 0x9e3779b97f4a7c15ull;
+  auto next_rand = [&rng]() {
+    // splitmix64
+    rng += 0x9e3779b97f4a7c15ull;
+    uint64_t z = rng;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+    return z ^ (z >> 31);
+  };
+  std::vector<int> candidates;
+  candidates.reserve(n);
+  for (int q = 0; q < nq; ++q) {
+    int low = *std::min_element(used.begin(), used.end());
+    candidates.clear();
+    for (int i = 0; i < n; ++i)
+      if (used[i] == low) candidates.push_back(i);
+    int pick = candidates[next_rand() % candidates.size()];
+
+    const float* p = points + 3 * pick;
+    std::priority_queue<std::pair<float, int>> heap;
+    tree.query(p, kk, heap);
+    int m = (int)heap.size();
+    std::vector<std::pair<float, int>> items(m);
+    for (int j = m - 1; j >= 0; --j) { items[j] = heap.top(); heap.pop(); }
+    for (int j = 0; j < k; ++j) {
+      int id = items[std::min(j, m - 1)].second;
+      out_idx[(size_t)q * k + j] = id;
+    }
+    for (int j = 0; j < m; ++j) used[items[j].second]++;
+    used[pick] += 100;  // a picked center is effectively spent
+    for (int d = 0; d < 3; ++d) out_queries[3 * q + d] = p[d];
+  }
+}
+
+// Batched variant: points (b, n, 3) -> queries (b, nq, 3), idx (b, nq, k).
+void pointops_knn_distance_pick_batch(const float* points, int b, int n,
+                                      int nq, int k, uint64_t seed,
+                                      float* out_queries, int32_t* out_idx) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int i = 0; i < b; ++i)
+    pointops_knn_distance_pick(
+        points + (size_t)i * n * 3, n, nq, k, seed + (uint64_t)i * 1315423911u,
+        out_queries + (size_t)i * nq * 3, out_idx + (size_t)i * nq * k);
+}
+
 // Grid subsampling: barycenter per occupied cell, mean features, majority
 // labels (equivalent role to reference grid_subsampling.cpp:5-104).
 // Returns the number of cells; call once with counts_only=1 to size

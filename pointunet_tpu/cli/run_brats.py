@@ -110,9 +110,13 @@ def main(argv=None):
         if restored is not None:
             state = restored
             log(f"resumed from step {int(state.step)}")
-        trainer.fit(
-            state, dataset.train_iter, dataset.val_iter, checkpointer, log
-        )
+        from ..core.metrics_sink import MetricsLogger
+
+        with MetricsLogger(args.logdir) as sink:
+            trainer.fit(
+                state, dataset.train_iter, dataset.val_iter, checkpointer,
+                log, metrics=sink,
+            )
     else:
         restored = checkpointer.restore_best(state)
         if restored is None:

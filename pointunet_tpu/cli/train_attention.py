@@ -64,16 +64,25 @@ def main(argv=None):
     parser.add_argument("--outPros_path", type=str, default="./attention_maps")
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--val_fraction", type=float, default=0.2)
+    parser.add_argument(
+        "--direction", choices=["axial", "sagittal", "coronal"],
+        default=None,
+        help="train a view-transposed model for the MULTI_VIEW ensemble "
+        "(reference config.DIRECTION consumed by sampler3d, "
+        "data_sampler.py:174-198)",
+    )
     args = parser.parse_args(argv)
+
+    import dataclasses
 
     cfg = (
         brats_saliency_config() if args.dataset == "brats"
         else pancreas_saliency_config()
     )
     if args.max_epoch:
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, max_epoch=args.max_epoch)
+    if args.direction:
+        cfg = dataclasses.replace(cfg, direction=args.direction)
 
     log = make_logger(args.logdir)
     trainer = SaliencyTrainer(cfg, TrainConfig())
@@ -116,6 +125,10 @@ def main(argv=None):
 
     # training
     records, _ = _load_records(args, with_label=True)
+    if cfg.direction != "axial":
+        from ..data.sampler import transpose_record
+
+        records = [transpose_record(r, cfg.direction) for r in records]
     n_val = max(1, int(len(records) * args.val_fraction))
     val_records, train_records = records[:n_val], records[n_val:]
     if not train_records:
@@ -128,7 +141,12 @@ def main(argv=None):
     if restored is not None:
         state = restored
         log(f"resumed from step {int(state.step)}")
-    trainer.fit(state, batches, val_records, checkpointer, log)
+    from ..core.metrics_sink import MetricsLogger
+
+    with MetricsLogger(args.logdir) as sink:
+        trainer.fit(
+            state, batches, val_records, checkpointer, log, metrics=sink
+        )
 
 
 if __name__ == "__main__":

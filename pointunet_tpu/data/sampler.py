@@ -29,6 +29,31 @@ class VolumeRecord:
         self.label = np.asarray(label, np.int32)       # (D, H, W)
 
 
+# direction -> (D, H, W) axis permutation (reference utils.py:80-103
+# transpose_volumes, applied to every training sample inside sampler3d,
+# data_sampler.py:174-198 — this is how the sagittal/coronal models of the
+# MULTI_VIEW ensemble are trained)
+_DIRECTION_PERM = {
+    "axial": (0, 1, 2),
+    "sagittal": (2, 0, 1),
+    "coronal": (1, 0, 2),
+}
+
+
+def transpose_record(record: VolumeRecord, direction: str) -> VolumeRecord:
+    """View-transposed copy of a record for direction-specific training."""
+    perm = _DIRECTION_PERM[direction]
+    if perm == (0, 1, 2):
+        return record
+    return VolumeRecord(
+        np.ascontiguousarray(
+            np.transpose(record.image, (0,) + tuple(p + 1 for p in perm))
+        ),
+        np.ascontiguousarray(np.transpose(record.weight, perm)),
+        np.ascontiguousarray(np.transpose(record.label, perm)),
+    )
+
+
 def random_patch(
     record: VolumeRecord,
     patch_size: Sequence[int],

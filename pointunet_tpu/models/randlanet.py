@@ -11,9 +11,12 @@ PointSegment/RandLANet.py:110-152, 314-401) as a flax.linen module:
   tf.layers.batch_normalization at helper_tf_util.py:167) and can sync
   statistics across a device mesh via ``axis_name`` — replacing the dormant
   NCCL path in the reference (custom_ops.py:345-362);
-* weight init mirrors the reference: truncated normal(1e-3) for conv/MLP
-  kernels (helper_tf_util.py:22-36 use_xavier=False default) and
-  glorot-uniform for tf.layers.dense layers (fc0, attention scores).
+* weight init mirrors the reference: the use_xavier=False path IGNORES its
+  stddev argument and draws truncated_normal(stddev=sqrt(2/fan_out)) — He
+  init over the output dim (helper_tf_util.py:43-51); tf.layers.dense
+  layers (fc0, attention scores) are glorot-uniform. (Round 1 misread this
+  as stddev=1e-3, which near-zeroed every kernel and throttled learning
+  ~10x — see docs/DESIGN.md.)
 
 Forward signature is batched: features (B, N, C_in) + a Pyramid of per-level
 xyz/neighbor/pool/upsample indices (ops/pyramid.py). Logits are (B, N,
@@ -32,7 +35,10 @@ from ..ops.gather import encode_neighbor_xyz
 from ..ops.pyramid import Pyramid
 from ..ops.scatter_window import windowed_gather
 
-_CONV_INIT = nn.initializers.truncated_normal(stddev=1e-3)
+# reference helper_tf_util.py:49: truncated_normal(stddev=sqrt(2/fan_out))
+_CONV_INIT = nn.initializers.variance_scaling(
+    2.0, "fan_out", "truncated_normal"
+)
 _DENSE_INIT = nn.initializers.glorot_uniform()
 
 

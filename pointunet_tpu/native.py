@@ -39,6 +39,17 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, i32p,
     ]
+    try:  # stale .so built before the distance-pick ops is still usable
+        lib.pointops_knn_distance_pick.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            f32p, i32p,
+        ]
+        lib.pointops_knn_distance_pick_batch.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, f32p, i32p,
+        ]
+    except AttributeError:
+        pass
     lib.pointops_grid_subsample.restype = ctypes.c_int
     lib.pointops_grid_subsample.argtypes = [
         f32p, ctypes.c_int,
@@ -80,6 +91,27 @@ def knn_batch(support: np.ndarray, query: np.ndarray, k: int) -> np.ndarray:
     out = np.empty((b, nq, k), np.int32)
     lib.pointops_knn_batch(support, query, b, ns, nq, k, out)
     return out
+
+
+def knn_batch_distance_pick(pts: np.ndarray, nqueries: int, k: int,
+                            seed: int = 0):
+    """Coverage-greedy query picking + KNN — surface parity with the
+    reference's nearest_neighbors.knn_batch_distance_pick (knn.pyx:111,
+    knn_.cxx:138-270): (B, N, 3) -> ((B, nq, 3) picked queries,
+    (B, nq, k) neighbor indices). Deterministic given ``seed``."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pointops_knn_distance_pick_batch"):
+        raise RuntimeError(
+            "libpointops.so not built or too old (make -C csrc)"
+        )
+    pts = np.ascontiguousarray(pts, np.float32)
+    b, n, _ = pts.shape
+    queries = np.empty((b, nqueries, 3), np.float32)
+    idx = np.empty((b, nqueries, k), np.int32)
+    lib.pointops_knn_distance_pick_batch(
+        pts, b, n, nqueries, k, ctypes.c_uint64(seed), queries, idx
+    )
+    return queries, idx
 
 
 def grid_subsample(points, features=None, labels=None, grid_size=0.1):

@@ -9,7 +9,11 @@ smaller than the budget. One top-k over randomized priority scores:
 
 so the descending top-``num_points`` selects salient voxels first (randomly
 subsampled if they exceed the budget — the documented clamp), then random
-background. The selection is also the shuffle.
+background. The selected indices are then explicitly permuted (reference
+DP.shuffle_idx, runBraTS.py:114): top_k returns score-sorted order
+(salient first), and the pyramid's prefix-slice decimation would otherwise
+keep only salient points at coarse levels — the coarse encoder would never
+see background context.
 """
 from __future__ import annotations
 
@@ -41,12 +45,16 @@ def sample_cloud_device(
     nonzero = jnp.any(flat_mods != 0, axis=1)
     salient = (mask.reshape(nvox) > 0) & nonzero
 
+    score_key, shuffle_key = jax.random.split(key)
     score = (
-        jax.random.uniform(key, (nvox,), jnp.float32)
+        jax.random.uniform(score_key, (nvox,), jnp.float32)
         + 2.0 * salient.astype(jnp.float32)
         + nonzero.astype(jnp.float32)
     )
     _, sel = jax.lax.top_k(score, num_points)          # (N,) flat ids
+    # top_k is score-sorted (salient first); shuffle so the prefix-slice
+    # decimation downstream is an unbiased random subsample
+    sel = jax.random.permutation(shuffle_key, sel)
 
     xi = sel // (y * z)
     rem = sel % (y * z)

@@ -212,9 +212,14 @@ class PointSegTrainer:
         val_iter_fn: Optional[Callable[[], Iterable]] = None,
         checkpointer=None,
         log: Callable = print,
+        metrics=None,
     ) -> TrainState:
         """Epoch loop: train steps, epoch-end eval, best-mIoU checkpoint
-        (reference RandLANet.py:156-206)."""
+        (reference RandLANet.py:156-206).
+
+        ``metrics``: optional core.metrics_sink.MetricsLogger; receives
+        loss/acc/lr each log_every steps and mIoU per epoch — parity with
+        the reference's TensorBoard scalars (RandLANet.py:97-107)."""
         from ..core.debug import StepTimer, format_eta
 
         from ..data.prefetch import prefetch
@@ -237,8 +242,19 @@ class PointSegTrainer:
                         f"---{t['ms_per_batch']:8.2f} ms/batch "
                         f"ETA {format_eta(t['eta_sec'])}"
                     )
+                    if metrics is not None:
+                        step = int(state.step)
+                        metrics.log(
+                            step,
+                            loss=float(m["loss"]),
+                            accuracy=float(m["acc"]),
+                            lr=float(self._lr_schedule(step)),
+                            ms_per_batch=t["ms_per_batch"],
+                        )
             if val_iter_fn is not None:
                 miou = self.evaluate(state, val_iter_fn(), log)
+                if metrics is not None:
+                    metrics.log(int(state.step), miou=miou, epoch=epoch)
                 if miou > self._best_miou:
                     self._best_miou = miou
                     if checkpointer is not None:

@@ -299,7 +299,10 @@ class SaliencyTrainer:
         checkpointer=None,
         log: Callable = print,
         max_steps: Optional[int] = None,
+        metrics=None,
     ) -> SaliencyTrainState:
+        """``metrics``: optional core.metrics_sink.MetricsLogger — scalar
+        parity with tensorpack's moving summaries (reference train.py:109)."""
         cfg = self.cfg
         total = max_steps or cfg.steps_per_epoch * cfg.max_epoch
         best = -1.0
@@ -323,6 +326,13 @@ class SaliencyTrainer:
                     f"Step {step:08d} dice_loss={float(m['loss']):.4f} "
                     f"---{dt:8.2f} ms/batch"
                 )
+                if metrics is not None:
+                    metrics.log(
+                        step,
+                        loss=float(m["loss"]),
+                        lr=float(self._schedule(step)),
+                        ms_per_batch=dt,
+                    )
                 t0 = time.time()
             epoch_end = step % cfg.steps_per_epoch == 0
             if epoch_end:
@@ -333,6 +343,8 @@ class SaliencyTrainer:
                     checkpointer.save(state, step)
                 if eval_records is not None and epoch % cfg.eval_epoch == 0:
                     dice = self.evaluate(state, eval_records, log)
+                    if metrics is not None:
+                        metrics.log(step, eval_dice=dice, epoch=epoch)
                     if dice > best:
                         best = dice
                         if checkpointer is not None:

@@ -13,14 +13,17 @@ sitecustomize has already run by the time conftest is imported.)
 """
 import os
 
-os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+# POINTUNET_TPU_TESTS=1 keeps the real TPU backend for the on-chip kernel
+# validation suite (tests/test_tpu_kernels.py, run with -m tpu)
+if os.environ.get("POINTUNET_TPU_TESTS") != "1":
+    os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -111,8 +111,10 @@ class _StubTrainer:
         return {"step": np.asarray(0, np.int32)}
 
     def fit(self, state, batches, eval_records=None, checkpointer=None,
-            log=print, max_steps=None):
+            log=print, max_steps=None, metrics=None):
         type(self).calls.append(("fit",))
+        if metrics is not None:
+            metrics.log(1, loss=0.5)
         if checkpointer is not None:
             checkpointer.save(state, 1, 0.5)
         return state
@@ -141,6 +143,11 @@ def test_train_attention_wiring(tmp_path, rng, monkeypatch):
         "--logdir", str(logdir), "--max_epoch", "1",
     ])
     assert ("fit",) in _StubTrainer.calls
+    # the CLI wires a scalar sink into fit (reference tf.summary parity)
+    from pointunet_tpu.core.metrics_sink import read_scalars
+
+    rows = read_scalars(str(logdir / "scalars.jsonl"))
+    assert rows and rows[0]["loss"] == 0.5
 
     # predict path reads the checkpoint the stub's fit saved
     maps = tmp_path / "maps"

@@ -92,7 +92,11 @@ def test_full_pipeline_learns(rng):
     assert losses[-1] < losses[0] * 0.7, losses[::8]
 
     # ---- stage 3: train RandLA-Net on context-sampled clouds ----
-    pcfg = brats_pointseg_config(num_points=N_POINTS, k_n=8)
+    # lr 1e-3 is the reference's Pancreas rate (helper_tool.py:69); the
+    # BraTS 1e-4 needs thousands of steps to memorize even a toy task
+    pcfg = brats_pointseg_config(
+        num_points=N_POINTS, k_n=8, learning_rate=1e-3
+    )
     ptrainer = PointSegTrainer(
         pcfg, TrainConfig(donate_state=False), num_points=N_POINTS
     )
@@ -113,7 +117,7 @@ def test_full_pipeline_learns(rng):
             pstate, c.xyz[None], feats, c.labels[None]
         )
         plosses.append(float(m["loss"]))
-    assert plosses[-1] < plosses[0] * 0.5, plosses[::12]
+    assert plosses[-1] < plosses[0] * 0.2, plosses[::12]
 
     # ---- fused pipeline with the TRAINED weights ----
     svars = {"params": sstate.params}

@@ -73,3 +73,29 @@ def test_native_points_only(rng):
     sub = native.grid_subsample(pts, None, None, 0.2)
     assert sub.ndim == 2 and sub.shape[1] == 3
     assert sub.shape[0] < 1000
+
+
+def test_native_knn_distance_pick(rng):
+    """Coverage-greedy picking (parity surface: reference knn.pyx:111):
+    picked queries are support points, neighbor rows contain the pick,
+    picks are distinct and deterministic per seed."""
+    pts = rng.uniform(0, 1, (2, 400, 3)).astype(np.float32)
+    nq, k = 24, 6
+    q, idx = native.knn_batch_distance_pick(pts, nq, k, seed=7)
+    assert q.shape == (2, nq, 3) and idx.shape == (2, nq, k)
+    assert idx.min() >= 0 and idx.max() < 400
+    for b in range(2):
+        # every picked query is an actual support point whose own index
+        # appears in its neighbor row
+        for j in range(nq):
+            d = ((pts[b] - q[b, j]) ** 2).sum(-1)
+            self_id = int(np.argmin(d))
+            assert d[self_id] == 0.0
+            assert self_id in idx[b, j]
+        # coverage-greedy: all picks distinct while nq << n
+        assert len({tuple(v) for v in q[b]}) == nq
+    q2, idx2 = native.knn_batch_distance_pick(pts, nq, k, seed=7)
+    np.testing.assert_array_equal(q, q2)
+    np.testing.assert_array_equal(idx, idx2)
+    q3, _ = native.knn_batch_distance_pick(pts, nq, k, seed=8)
+    assert not np.array_equal(q, q3)
