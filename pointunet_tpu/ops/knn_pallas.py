@@ -230,8 +230,8 @@ def _knn_pallas_impl(
             pl.BlockSpec(
                 (tile, 3), lambda t, w: (t, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -272,9 +272,15 @@ def knn_pallas(
     k: int,
     alpha: float = 1.8,
     tile: int = 128,
-    slack: float = 2.0,
+    slack: float = 4.0,
 ) -> jax.Array:
-    """Pallas-fused cell-window KNN (TPU); XLA fallback elsewhere."""
+    """Pallas-fused cell-window KNN (TPU); XLA fallback elsewhere.
+
+    slack 4.0: windows sized for the voxel-cloud density bound. Measured
+    on-chip at 365k (all-voxel tumor + subsampled background): tie-aware
+    recall 0.9978 overall / 1.0000 in the dense tumor region, 165 ms —
+    slack 2.0 truncated dense-region windows (tumor recall 0.989, 149 ms).
+    See tests/test_tpu_kernels.py + docs/TPU_KERNEL_VALIDATION.md."""
     if jax.default_backend() != "tpu":
         return knn_cell_window(support, query, k, alpha=alpha, slack=slack)
     support = support.astype(jnp.float32)

@@ -60,27 +60,49 @@ def _knn_window_impl(
     resolution: int,
     tile: int,
     window: int,
+    support_valid: jax.Array | None = None,  # (Ns,) bool; None = all valid
 ):
     ns, nq = support.shape[0], query.shape[0]
-    r = resolution
-    r2 = r * r
+    # per-axis resolutions: an int means an isotropic grid; a tuple keeps
+    # cells cubic over anisotropic boxes (e.g. the x-slab a point-sharded
+    # shard sees, ops/knn_sharded.py)
+    if isinstance(resolution, int):
+        rx = ry = rz = resolution
+    else:
+        rx, ry, rz = resolution
+    ryz = ry * rz
+    n_cells = rx * ryz
+    rvec = jnp.asarray([rx, ry, rz], jnp.float32)
+    rmax = jnp.asarray([rx - 1, ry - 1, rz - 1], jnp.int32)
 
-    lo = jnp.min(support, axis=0)
-    span = jnp.maximum(jnp.max(support, axis=0) - lo, 1e-6)
+    if support_valid is None:
+        lo = jnp.min(support, axis=0)
+        hi = jnp.max(support, axis=0)
+    else:
+        # invalid rows (e.g. sentinel halo fill in the sharded search)
+        # must not warp the grid bbox
+        v = support_valid[:, None]
+        lo = jnp.min(jnp.where(v, support, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(v, support, -jnp.inf), axis=0)
+    span = jnp.maximum(hi - lo, 1e-6)
 
     def cell_of(pts):
         c = jnp.clip(
-            jnp.floor((pts - lo) / span * r).astype(jnp.int32), 0, r - 1
+            jnp.floor((pts - lo) / span * rvec).astype(jnp.int32), 0, rmax
         )
-        return (c[:, 0] * r + c[:, 1]) * r + c[:, 2]
+        return (c[:, 0] * ry + c[:, 1]) * rz + c[:, 2]
 
     s_ids = cell_of(support)
+    if support_valid is not None:
+        # same out-of-range id the window padding uses: decoded sx can
+        # never equal any query cell + dx, so the row is exactly excluded
+        s_ids = jnp.where(support_valid, s_ids, jnp.int32(2147480000))
     s_order = jnp.argsort(s_ids)
     s_ids_sorted = s_ids[s_order]
     s_pts_sorted = support[s_order]
 
     # cell -> first sorted row via scatter-count + cumsum
-    counts = jnp.zeros((r2 * r + 1,), jnp.int32).at[s_ids_sorted + 1].add(1)
+    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[s_ids_sorted + 1].add(1)
     cell_start = jnp.cumsum(counts)
 
     q_ids = cell_of(query)
@@ -91,7 +113,7 @@ def _knn_window_impl(
     pad_q = (-nq) % tile
     qp = jnp.pad(q_pts_sorted, ((0, pad_q), (0, 0))).reshape(-1, tile, 3)
     qi = jnp.pad(
-        q_ids_sorted, (0, pad_q), constant_values=r2 * r - 1
+        q_ids_sorted, (0, pad_q), constant_values=n_cells - 1
     ).reshape(-1, tile)
     nt = qp.shape[0]
 
@@ -100,9 +122,9 @@ def _knn_window_impl(
         s_ids_sorted, (0, window), constant_values=jnp.int32(2147480000)
     )
 
-    qz = qi % r
-    qy = (qi // r) % r
-    qx = qi // r2
+    qz = qi % rz
+    qy = (qi // rz) % ry
+    qx = qi // ryz
     q_sq = jnp.sum(qp * qp, axis=-1)                    # (nt, T)
     c_lo = qi[:, 0]                                     # (nt,)
 
@@ -110,17 +132,17 @@ def _knn_window_impl(
     all_idx = []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            off = dx * r2 + dy * r
-            w0 = cell_start[jnp.clip(c_lo + off - 1, 0, r2 * r - 1)]
+            off = dx * ryz + dy * rz
+            w0 = cell_start[jnp.clip(c_lo + off - 1, 0, n_cells - 1)]
             rows = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(sp_pad, (s, 0), (window, 3))
             )(w0)                                       # (nt, W, 3)
             rsid = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(si_pad, (s,), (window,))
             )(w0)                                       # (nt, W)
-            sz = rsid % r
-            sy = (rsid // r) % r
-            sx = rsid // r2
+            sz = rsid % rz
+            sy = (rsid // rz) % ry
+            sx = rsid // ryz
 
             negd = 2.0 * jnp.einsum(
                 "ntc,nwc->ntw",
@@ -181,22 +203,38 @@ def knn_cell_window(
     k: int,
     alpha: float = 1.8,
     tile: int = 128,
-    slack: float = 2.0,
+    slack: float = 4.0,
+    support_valid: jax.Array | None = None,
+    resolution: int | tuple[int, int, int] | None = None,
 ) -> jax.Array:
     """Gather-free approximate KNN. Returns (Nq, k) int32 indices.
 
     Argument order matches the reference DP.knn_search (support first).
+    slack 4.0 matches knn_pallas: sized for the voxel-cloud density bound
+    (all-voxel tumor regions), where slack 2.0 truncated dense windows.
+    ``support_valid`` masks support rows out exactly (sentinel cell id,
+    excluded from the grid bbox); ``resolution`` may be a per-axis tuple
+    to keep cells cubic over anisotropic boxes — both are used by the
+    point-sharded halo search (ops/knn_sharded.py).
     """
     support = support.astype(jnp.float32)
     query = query.astype(jnp.float32)
     ns = int(support.shape[0])
     nq = int(query.shape[0])
     k = min(k, ns)
-    resolution = _grid_resolution(ns, alpha)
+    if resolution is None:
+        resolution = _grid_resolution(ns, alpha)
+    n_cells = (
+        resolution ** 3
+        if isinstance(resolution, int)
+        else resolution[0] * resolution[1] * resolution[2]
+    )
     tile = min(tile, max(_round_up(nq, 8), 8))
     # expected window rows: the tile's span of support density + 2-cell halo
-    per_cell = ns / float(resolution ** 3)
+    per_cell = ns / float(n_cells)
     exp_rows = tile * (ns / max(nq, 1)) + 2.0 * per_cell + 64.0
     window = int(_round_up(int(slack * exp_rows), 128))
     window = min(window, _round_up(ns, 128) + 128)
-    return _knn_window_impl(support, query, k, resolution, tile, window)
+    return _knn_window_impl(
+        support, query, k, resolution, tile, window, support_valid
+    )

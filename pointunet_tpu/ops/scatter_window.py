@@ -22,10 +22,19 @@ cell-window structure the KNN search uses (ops/knn_window.py):
   unsorted with one cheap gather.
 
 ``windowed_gather`` wraps the whole thing as a custom-VJP drop-in for
-``jnp.take`` rows-gather: identical forward, fast backward on TPU, exact
-``.at[].add`` fallback elsewhere. The grid/sort metadata is recomputed
-inside the VJP from the coordinates (~15 ms — noise against the 384 ms it
-replaces), so no metadata threads through the model.
+``jnp.take`` rows-gather: identical forward, kernel backward opt-in on TPU
+(POINTUNET_WINDOWED_SCATTER=1), exact ``.at[].add`` default/fallback. The
+grid/sort metadata is recomputed inside the VJP from the coordinates.
+
+HONEST OUTCOME (r2, measured on-chip — docs/TPU_KERNEL_VALIDATION.md): at
+the reverse-window slack required for an exact gradient on the pipeline's
+voxel-cloud contract (6.0), the kernel is break-even with XLA's native
+scatter (409 vs 414 ms at 365k x 16 x 8) and the (c_pad, wqk) VMEM
+scratch exceeds the 16 MB scoped limit at wider channel counts. The r1
+speedup was an artifact of slack 2.0 truncating dense-region reverse
+windows (dropped gradient). The kernel stays as an opt-in and as the
+validated pattern for one-hot-matmul scatter on the MXU; the training
+default is the exact scatter.
 
 Approximation contract: like the forward KNN, reverse windows are sized
 from average density with slack; indices that fall outside every window
@@ -210,7 +219,7 @@ def _windowed_scatter_impl(
                 (8, S_TILE), lambda t, w, th: (t, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (c_pad, S_TILE), lambda t, w, th: (0, t),
@@ -236,7 +245,14 @@ def _windowed_scatter_impl(
     return grad_sorted[inv]                                  # (Ns, C)
 
 
-def _reverse_window_rows(ns, nq, k, resolution, slack=2.0):
+def _reverse_window_rows(ns, nq, k, resolution, slack=6.0):
+    # slack 6.0: the reverse window must hold every (query, k) row whose
+    # support index lands in a 128-support-row tile. In a dense all-voxel
+    # region the per-tile reverse fan-in far exceeds the mean-density
+    # estimate below. Measured on-chip at 365k x 16 on the pipeline's own
+    # voxel-cloud contract: slack 2.0 -> max rel err 3.8e-1, 4.0 -> 1.7e-1,
+    # 6.0 -> 2.5e-7 (exact), 8.0 -> exact but 30% slower. See
+    # docs/TPU_KERNEL_VALIDATION.md for the recorded sweep.
     per_cell_q = nq / float(resolution ** 3)
     span_cells = S_TILE / max(ns / float(resolution ** 3), 1e-6)
     exp_rows = (span_cells + 3.0) * per_cell_q + 64.0
@@ -294,11 +310,18 @@ def _bwd(res, ct):
     import os
 
     idx, support_xyz, query_xyz, n_support = res
+    # Default OFF (r2 honest A/B): at the slack the kernel needs for an
+    # exact gradient on the voxel contract (6.0 — see
+    # docs/TPU_KERNEL_VALIDATION.md) it is break-even with XLA's native
+    # scatter at c=8 (409 vs 414 ms) and its (c_pad, wqk) VMEM scratch
+    # exceeds the 16 MB scoped limit at the level-1 gather width. The r1
+    # "1.5x train step" was measured at slack 2.0, which silently dropped
+    # tumor-region gradient. Opt back in with POINTUNET_WINDOWED_SCATTER=1.
     use_kernel = (
         jax.default_backend() == "tpu"
         and idx.size >= MIN_ROWS
         and ct.ndim == 3
-        and os.environ.get("POINTUNET_WINDOWED_SCATTER", "1") != "0"
+        and os.environ.get("POINTUNET_WINDOWED_SCATTER", "0") == "1"
     )
     if use_kernel:
         grad = windowed_scatter_add(
