@@ -36,7 +36,9 @@ def bench_e2e(repeats: int) -> dict:
     from pointunet_tpu.pipeline.fused import FusedPointUnet
 
     scfg = brats_saliency_config(use_bfloat16=True)
-    pcfg = brats_pointseg_config()
+    # bf16 pointseg: validated on-chip r2 (argmax agreement 0.99988 vs
+    # f32 at 365k; forward 132 vs 180 ms) — see docs/DESIGN.md
+    pcfg = brats_pointseg_config(use_bfloat16=True)
     rng = jax.random.PRNGKey(0)
     smodel, svars = init_saliency_unet(rng, scfg)
     pmodel, pvars = init_randlanet(rng, pcfg)

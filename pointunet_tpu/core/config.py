@@ -41,7 +41,12 @@ class PointSegConfig:
     ignored_label_inds: Tuple[int, ...] = ()
     # class weights follow reference DP.get_class_weights (helper_tool.py:172-184)
     class_counts: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
-    # dtype policy: bf16 matmuls with f32 accumulations/norm stats
+    # dtype policy: bf16 matmuls with f32 accumulations/norm stats.
+    # Default f32 matches the reference's numerics (and the suite's
+    # cross-mesh loss-equality bars); on-chip bf16 is validated and fast —
+    # forward 132 vs 180 ms, train step 1.09 vs 1.57 s at 365k, argmax
+    # agreement 0.99988 (r2; the r1 worker crash no longer reproduces) —
+    # and the bench/fused inference paths enable it explicitly.
     use_bfloat16: bool = False
 
     @property

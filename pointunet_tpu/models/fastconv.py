@@ -75,6 +75,76 @@ def _decomposable(kernel: Tuple[int, int, int]) -> int | None:
     return None
 
 
+def fused_upsample_conv3d(
+    x: jax.Array,          # (B, D, H, W, Cin) COARSE input
+    w: jax.Array,          # (3, 3, 3, Cin, Cout) full-res kernel
+    scale: int,
+) -> jax.Array:
+    """Exactly ``conv3d_SAME(w, nearest_upsample(x, scale))`` computed at
+    coarse resolution — 8/27 of the full-resolution FLOPs.
+
+    Identity: with output index o = scale*j + q written with phases
+    q in [1, scale], every full-res tap x_up[o + d] (d in {-1,0,1}) reads
+    x[j + floor((q+d)/scale)] and floor((q+d)/scale) is always 0 or 1 —
+    each phase is a 2-tap coarse conv whose taps are re-bucketed sums of
+    the original 3 weights. One VALID 2x2x2 conv over the 1-padded coarse
+    input emits all scale^3 phases as channels; depth-to-space + a
+    (scale-1)-offset crop reassembles the full-res result. Mathematically
+    exact; floats differ only by weight pre-summation reassociation
+    (ulp-level — asserted tight in tests/test_fastconv.py).
+
+    Measured (v5e, whole-volume saliency at (160,240,240)): the two
+    full-res UpsampleConvs are ~4 TFLOP of the forward's ~10 and this
+    cuts them 3.375x — yet end-to-end it is perf-NEUTRAL (740 vs 732 ms
+    fwd; 741 vs 732 ms train step): the decoder is HBM-bandwidth-bound,
+    and the depth-to-space transpose re-spends the saved bytes. Hence
+    opt-in via POINTUNET_FUSED_UPSAMPLE=1 (see _fused_upsample_enabled).
+    """
+    assert w.shape[:3] == (3, 3, 3), "phase decomposition assumes k=3"
+    s = scale
+    cin, cout = w.shape[3], w.shape[4]
+    # per-axis tap matrix T[q-1, t, k] = [floor((q + k - 1)/s) == t]
+    q = np.arange(1, s + 1)[:, None, None]
+    t = np.arange(2)[None, :, None]
+    k = np.arange(3)[None, None, :]
+    T = jnp.asarray(((q + k - 1) // s == t), w.dtype)       # (s, 2, 3)
+    # W2[a,b,c, i, q,r,p, o]: coarse 2x2x2 kernel for each phase triple
+    w2 = jnp.einsum("qak,rbl,pcm,klmio->abciqrpo", T, T, T, w)
+    w2 = w2.reshape(2, 2, 2, cin, s * s * s * cout)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, w2, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )                                     # (B, D+1, H+1, W+1, s^3*Cout)
+    b, d1, h1, w1 = y.shape[:4]
+    y = y.reshape(b, d1, h1, w1, s, s, s, cout)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+    y = y.reshape(b, d1 * s, h1 * s, w1 * s, cout)
+    d, h, wd = x.shape[1:4]
+    return y[:, s - 1 : s - 1 + d * s,
+             s - 1 : s - 1 + h * s,
+             s - 1 : s - 1 + wd * s]
+
+
+def _nearest_upsample(x: jax.Array, scale: int) -> jax.Array:
+    """Nearest-neighbor repeat along D, H, W (keras UpSampling3D)."""
+    for axis in (1, 2, 3):
+        x = jnp.repeat(x, scale, axis=axis)
+    return x
+
+
+def _fused_upsample_enabled() -> bool:
+    """Opt-in (POINTUNET_FUSED_UPSAMPLE=1): measured perf-NEUTRAL on v5e
+    (saliency fwd (160,240,240): 740 vs 732 ms; train step 741 vs 732 ms)
+    because the decoder is HBM-bandwidth-bound — the 3.375x FLOP cut buys
+    nothing and the depth-to-space transpose adds a full-res pass. Kept
+    for compute-bound shapes (small volumes / larger batch)."""
+    import os
+
+    return os.environ.get("POINTUNET_FUSED_UPSAMPLE", "0") == "1"
+
+
 def fast_conv3d(
     x: jax.Array,          # (B, S0, S1, S2, Cin)
     w: jax.Array,          # (k0, k1, k2, Cin, Cout)
@@ -129,6 +199,11 @@ class FastConv(nn.Module):
     strides: Union[int, Sequence[int]] = 1
     padding: Any = "SAME"
     kernel_dilation: Union[int, Sequence[int]] = 1
+    # upsample > 1: compute conv(nearest_upsample(x, upsample)) — via the
+    # exact coarse-resolution phase decomposition when eligible (k=3,
+    # stride 1, SAME), else explicit repeat + conv. The kernel parameter
+    # is the full-resolution kernel either way (checkpoint-identical).
+    upsample: int = 1
     use_bias: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -167,6 +242,20 @@ class FastConv(nn.Module):
             x, kernel = x.astype(dt), kernel.astype(dt)
             if bias is not None:
                 bias = bias.astype(dt)
+
+        if self.upsample > 1:
+            if (
+                kernel_size == (3, 3, 3)
+                and strides == (1, 1, 1)
+                and dilation == (1, 1, 1)
+                and self.padding == "SAME"
+                and _fused_upsample_enabled()
+            ):
+                y = fused_upsample_conv3d(x, kernel, self.upsample)
+                if bias is not None:
+                    y = y + bias
+                return y
+            x = _nearest_upsample(x, self.upsample)
 
         mode = _decomposition_mode()
         fold = _decomposable(kernel_size)

@@ -77,3 +77,39 @@ def test_bf16_dtype(rng, monkeypatch):
     y = fast.apply(v, x)
     assert y.dtype == jnp.bfloat16
     assert v["params"]["kernel"].dtype == jnp.float32
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_fused_upsample_conv_exact(scale, rng):
+    """fused_upsample_conv3d == conv3d_SAME(nearest_upsample(x))."""
+    from pointunet_tpu.models.fastconv import (
+        _nearest_upsample, fused_upsample_conv3d)
+
+    x = jnp.asarray(rng.standard_normal((1, 3, 4, 5, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 6, 7)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        _nearest_upsample(x, scale), w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = fused_upsample_conv3d(x, w, scale)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_fastconv_upsample_field(scale, rng, monkeypatch):
+    """FastConv(upsample=s) == nearest-repeat then plain conv, for both the
+    fused path and the explicit-repeat fallback (env-disabled)."""
+    x = jnp.asarray(rng.standard_normal((1, 3, 4, 4, 5)).astype(np.float32))
+    ref = nn.Conv(4, (3, 3, 3), padding="SAME")
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    from pointunet_tpu.models.fastconv import _nearest_upsample
+
+    want = ref.apply(variables, _nearest_upsample(x, scale))
+    for env in ("1", "0"):
+        monkeypatch.setenv("POINTUNET_FUSED_UPSAMPLE", env)
+        monkeypatch.setenv("POINTUNET_FASTCONV", "0")
+        got = FastConv(4, (3, 3, 3), padding="SAME", upsample=scale).apply(
+            variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
