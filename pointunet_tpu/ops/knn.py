@@ -33,6 +33,18 @@ def _pad_to_multiple(x: jax.Array, block: int, axis: int, fill) -> jax.Array:
     return jnp.pad(x, pad, constant_values=fill)
 
 
+def pad_k_columns(idx: jax.Array, k_req: int) -> jax.Array:
+    """Widen (Nq, k_eff) neighbor indices to (Nq, k_req) by repeating the
+    last valid column — keeps the static k-column contract when the
+    support had fewer than k points (all KNN entry points use this)."""
+    k_eff = idx.shape[1]
+    if k_eff >= k_req:
+        return idx
+    return jnp.concatenate(
+        [idx, jnp.repeat(idx[:, -1:], k_req - k_eff, axis=1)], axis=1
+    )
+
+
 def _block_knn(
     query: jax.Array,        # (Q, 3) f32
     support: jax.Array,      # (Ns, 3) f32
@@ -103,13 +115,18 @@ def knn(
 ) -> jax.Array:
     """Exact brute-force KNN. Returns (Nq, k) int32 indices into ``support``.
 
+    Always k columns: when the support has fewer than k points, the search
+    runs at k_eff = Ns and the trailing columns repeat the k_eff-th
+    neighbor (valid indices, non-decreasing distance) — callers can rely
+    on the static (Nq, k) shape.
+
     Argument order (support first) matches the reference
     ``DP.knn_search(support_pts, query_pts, k)`` (helper_tool.py:85).
     """
     support = support.astype(jnp.float32)
     query = query.astype(jnp.float32)
     nq = query.shape[0]
-    k = min(k, support.shape[0])
+    k_req, k = k, min(k, support.shape[0])
 
     query_block = min(query_block, max(nq, 1))
     padded_q = _pad_to_multiple(query, query_block, axis=0, fill=0.0)
@@ -121,7 +138,7 @@ def knn(
         return idx
 
     idx = jax.lax.map(run_block, blocks)
-    return idx.reshape(-1, k)[:nq]
+    return pad_k_columns(idx.reshape(-1, k)[:nq], k_req)
 
 
 @functools.partial(
@@ -134,11 +151,12 @@ def knn_with_distances(
     query_block: int = 8192,
     support_chunk: int = 8192,
 ) -> tuple[jax.Array, jax.Array]:
-    """As ``knn`` but also returns squared distances (Nq, k)."""
+    """As ``knn`` but also returns squared distances (Nq, k); when
+    Ns < k the trailing columns repeat the last valid neighbor."""
     support = support.astype(jnp.float32)
     query = query.astype(jnp.float32)
     nq = query.shape[0]
-    k = min(k, support.shape[0])
+    k_req, k = k, min(k, support.shape[0])
 
     query_block = min(query_block, max(nq, 1))
     padded_q = _pad_to_multiple(query, query_block, axis=0, fill=0.0)
@@ -149,7 +167,8 @@ def knn_with_distances(
         return _block_knn(qb, support, k, support_chunk)
 
     idx, d2 = jax.lax.map(run_block, blocks)
-    return idx.reshape(-1, k)[:nq], d2.reshape(-1, k)[:nq]
+    idx, d2 = idx.reshape(-1, k)[:nq], d2.reshape(-1, k)[:nq]
+    return pad_k_columns(idx, k_req), pad_k_columns(d2, k_req)
 
 
 def knn_batch(support: jax.Array, query: jax.Array, k: int, **kw) -> jax.Array:

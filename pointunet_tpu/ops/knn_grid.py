@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .knn import pad_k_columns
+
 
 # single source for the cells-per-axis policy shared by all grid variants
 from .knn_window import _grid_resolution  # noqa: E402
@@ -145,9 +147,12 @@ def knn_grid(
     """
     support = support.astype(jnp.float32)
     query = query.astype(jnp.float32)
-    k = min(k, support.shape[0])
+    k_req, k = k, min(k, support.shape[0])
     resolution = _grid_resolution(int(support.shape[0]), alpha)
     query_block = min(query_block, max(int(query.shape[0]), 1))
-    return _knn_grid_impl(
-        support, query, k, resolution, capacity, query_block
+    return pad_k_columns(
+        _knn_grid_impl(
+            support, query, k, resolution, capacity, query_block
+        ),
+        k_req,
     )

@@ -32,6 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .knn import pad_k_columns
 from .knn_window import _grid_resolution, _round_up, knn_cell_window
 
 
@@ -287,11 +288,13 @@ def knn_pallas(
     query = query.astype(jnp.float32)
     ns = int(support.shape[0])
     nq = int(query.shape[0])
-    k = min(k, ns)
+    k_req, k = k, min(k, ns)
     resolution = _grid_resolution(ns, alpha)
     tile = min(tile, max(_round_up(nq, 8), 8))
     per_cell = ns / float(resolution ** 3)
     exp_rows = tile * (ns / max(nq, 1)) + 2.0 * per_cell + 64.0
     window = 1 << max(7, math.ceil(math.log2(max(slack * exp_rows, 128))))
     window = min(window, 1 << math.ceil(math.log2(max(ns, 128))))
-    return _knn_pallas_impl(support, query, k, resolution, tile, window)
+    return pad_k_columns(
+        _knn_pallas_impl(support, query, k, resolution, tile, window), k_req
+    )

@@ -39,6 +39,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from .knn import pad_k_columns
+
 
 def _grid_resolution(n_support: int, alpha: float) -> int:
     r = int(math.ceil(n_support ** (1.0 / 3.0) / alpha))
@@ -221,7 +223,7 @@ def knn_cell_window(
     query = query.astype(jnp.float32)
     ns = int(support.shape[0])
     nq = int(query.shape[0])
-    k = min(k, ns)
+    k_req, k = k, min(k, ns)
     if resolution is None:
         resolution = _grid_resolution(ns, alpha)
     n_cells = (
@@ -235,6 +237,9 @@ def knn_cell_window(
     exp_rows = tile * (ns / max(nq, 1)) + 2.0 * per_cell + 64.0
     window = int(_round_up(int(slack * exp_rows), 128))
     window = min(window, _round_up(ns, 128) + 128)
-    return _knn_window_impl(
-        support, query, k, resolution, tile, window, support_valid
+    return pad_k_columns(
+        _knn_window_impl(
+            support, query, k, resolution, tile, window, support_valid
+        ),
+        k_req,
     )

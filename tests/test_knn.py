@@ -63,8 +63,11 @@ def test_knn_batch(rng):
 
 
 def test_knn_k_larger_than_support(rng):
+    """k > Ns keeps the static (Nq, k) contract: trailing columns repeat
+    the last valid neighbor (all indices valid)."""
     support = rng.standard_normal((3, 3)).astype(np.float32)
     query = rng.standard_normal((5, 3)).astype(np.float32)
     idx = np.asarray(knn(support, query, 16))
-    assert idx.shape == (5, 3)
+    assert idx.shape == (5, 16)
     assert idx.max() < 3
+    np.testing.assert_array_equal(idx[:, 3:], np.repeat(idx[:, 2:3], 13, 1))

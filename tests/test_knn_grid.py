@@ -55,5 +55,5 @@ def test_grid_knn_tiny_support(rng):
     support = rng.uniform(0, 1, (5, 3)).astype(np.float32)
     query = rng.uniform(0, 1, (50, 3)).astype(np.float32)
     idx = np.asarray(knn_grid(jnp.asarray(support), jnp.asarray(query), 16))
-    assert idx.shape == (50, 5)
+    assert idx.shape == (50, 16)  # static k-column contract (pad_k_columns)
     assert idx.min() >= 0 and idx.max() < 5

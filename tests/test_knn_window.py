@@ -65,5 +65,5 @@ def test_window_knn_tiny(rng):
     support = rng.uniform(0, 1, (7, 3)).astype(np.float32)
     query = rng.uniform(0, 1, (33, 3)).astype(np.float32)
     idx = np.asarray(knn_cell_window(jnp.asarray(support), jnp.asarray(query), 16))
-    assert idx.shape == (33, 7)
+    assert idx.shape == (33, 16)  # static k-column contract (pad_k_columns)
     assert idx.min() >= 0 and idx.max() < 7
