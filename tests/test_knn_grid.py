@@ -3,15 +3,7 @@ import jax.numpy as jnp
 
 from pointunet_tpu.ops.knn import knn
 from pointunet_tpu.ops.knn_grid import knn_grid
-
-
-def _recall(support, query, k, idx):
-    """Distance-based recall: a neighbor counts if its distance is within
-    the true k-th distance (ties at the boundary are legitimate picks)."""
-    d = ((query[:, None, :] - support[None, :, :]) ** 2).sum(-1)
-    kth = np.sort(d, axis=1)[:, k - 1 : k]
-    got_d = np.take_along_axis(d, np.asarray(idx), axis=1)
-    return float((got_d <= kth + 1e-7).mean())
+from util_synthetic import distance_recall as _recall
 
 
 def test_grid_knn_high_recall_volumetric(rng):
