@@ -29,8 +29,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # The suite's cost is XLA CPU compiles (the tiny saliency U-Net alone is
-# ~70 s to compile), so cache compilations persistently: a warm rerun of
-# the whole suite drops from >40 min to a few minutes.
+# ~70 s to compile), so cache compilations persistently. Budget on this
+# 1-CPU host: ~4.5 min with the cache warm (measured 264 s, r2); a cold
+# run additionally pays the one-time compiles (~store-and-reuse, see
+# COLD_SUITE note in docs/DESIGN.md). Keep tests jitting whole programs —
+# eager flax applies dispatch hundreds of per-op round-trips and cost
+# more than the jit trace they avoid.
 import jax  # noqa: E402
 
 jax.config.update(

@@ -23,12 +23,17 @@ def _inputs(cfg, batch=1, seed=0):
     return jnp.asarray(feats), pyr
 
 
+# un-jitted flax apply dispatches each primitive individually — hundreds
+# of per-op round-trips cost more on this 1-CPU host than one jitted
+# program that also hits the persistent compile cache across runs
 def test_forward_shapes():
     model, variables = init_randlanet(
         jax.random.PRNGKey(0), TINY, num_points=TINY.num_points
     )
     feats, pyr = _inputs(TINY)
-    logits = model.apply(variables, feats, pyr, train=False)
+    logits = jax.jit(
+        lambda v, f, p: model.apply(v, f, p, train=False)
+    )(variables, feats, pyr)
     assert logits.shape == (1, TINY.num_points, TINY.num_classes)
     assert logits.dtype == jnp.float32
     assert np.isfinite(np.asarray(logits)).all()
@@ -38,21 +43,21 @@ def test_forward_pancreas_shapes():
     cfg = pancreas_pointseg_config(num_points=512, k_n=4)
     model, variables = init_randlanet(jax.random.PRNGKey(0), cfg, num_points=512)
     feats, pyr = _inputs(cfg)
-    logits = model.apply(variables, feats, pyr, train=False)
+    logits = jax.jit(
+        lambda v, f, p: model.apply(v, f, p, train=False)
+    )(variables, feats, pyr)
     assert logits.shape == (1, 512, 2)
 
 
 def test_train_mode_updates_batch_stats():
     model, variables = init_randlanet(jax.random.PRNGKey(0), TINY)
     feats, pyr = _inputs(TINY)
-    logits, mutated = model.apply(
-        variables,
-        feats,
-        pyr,
-        train=True,
-        rngs={"dropout": jax.random.PRNGKey(1)},
-        mutable=["batch_stats"],
-    )
+    logits, mutated = jax.jit(
+        lambda v, f, p, k: model.apply(
+            v, f, p, train=True, rngs={"dropout": k},
+            mutable=["batch_stats"],
+        )
+    )(variables, feats, pyr, jax.random.PRNGKey(1))
     assert logits.shape == (1, TINY.num_points, TINY.num_classes)
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
@@ -115,21 +120,19 @@ def test_overfit_toy_cloud():
     # after only 60 steps the BN running averages haven't converged, so
     # eval-mode accuracy is not meaningful at this horizon (the reference
     # trains ~30k steps before its eval path is exercised).
-    logits, _ = model.apply(
-        {"params": params, "batch_stats": batch_stats},
-        feats,
-        pyr,
-        train=True,
-        rngs={"dropout": jax.random.PRNGKey(123)},
-        mutable=["batch_stats"],
-    )
+    logits, _ = jax.jit(
+        lambda v, k: model.apply(
+            v, feats, pyr, train=True, rngs={"dropout": k},
+            mutable=["batch_stats"],
+        )
+    )({"params": params, "batch_stats": batch_stats}, jax.random.PRNGKey(123))
     acc = (np.argmax(np.asarray(logits), -1) == np.asarray(labels)).mean()
     assert acc > 0.8, acc
 
     # eval path stays finite and runs end-to-end
-    ev = model.apply(
-        {"params": params, "batch_stats": batch_stats}, feats, pyr, train=False
-    )
+    ev = jax.jit(
+        lambda v: model.apply(v, feats, pyr, train=False)
+    )({"params": params, "batch_stats": batch_stats})
     assert np.isfinite(np.asarray(ev)).all()
 
 

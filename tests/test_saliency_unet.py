@@ -19,7 +19,9 @@ def test_saliency_unet_shapes():
     cfg = pancreas_saliency_config(patch_size=TINY_PATCH, base_filter=4)
     model, variables = init_saliency_unet(jax.random.PRNGKey(0), cfg)
     x = jnp.ones((1,) + TINY_PATCH + (cfg.in_channels,))
-    logits = model.apply(variables, x, train=False)
+    logits = jax.jit(
+        lambda v, a: model.apply(v, a, train=False)
+    )(variables, x)
     assert logits.shape == (1,) + TINY_PATCH + (cfg.num_class,)
     assert np.isfinite(np.asarray(logits)).all()
 
@@ -28,7 +30,9 @@ def test_saliency_unet_brats_channels():
     cfg = brats_saliency_config(patch_size=TINY_PATCH, base_filter=4)
     model, variables = init_saliency_unet(jax.random.PRNGKey(0), cfg)
     x = jnp.ones((1,) + TINY_PATCH + (4,))
-    logits = model.apply(variables, x, train=False)
+    logits = jax.jit(
+        lambda v, a: model.apply(v, a, train=False)
+    )(variables, x)
     assert logits.shape == (1,) + TINY_PATCH + (2,)
 
 
@@ -39,7 +43,9 @@ def test_saliency_no_attention_toggles():
     )
     model, variables = init_saliency_unet(jax.random.PRNGKey(0), cfg)
     x = jnp.ones((1,) + TINY_PATCH + (1,))
-    logits = model.apply(variables, x, train=False)
+    logits = jax.jit(
+        lambda v, a: model.apply(v, a, train=False)
+    )(variables, x)
     assert logits.shape == (1,) + TINY_PATCH + (2,)
 
 
@@ -49,7 +55,9 @@ def test_plain_unet3d_deep_supervision():
         jax.random.PRNGKey(0), cfg, attention=False
     )
     x = jnp.ones((1,) + TINY_PATCH + (1,))
-    logits = model.apply(variables, x, train=False)
+    logits = jax.jit(
+        lambda v, a: model.apply(v, a, train=False)
+    )(variables, x)
     assert logits.shape == (1,) + TINY_PATCH + (2,)
 
 
