@@ -42,12 +42,26 @@ def bench_e2e(repeats: int) -> dict:
     rng = jax.random.PRNGKey(0)
     smodel, svars = init_saliency_unet(rng, scfg)
     pmodel, pvars = init_randlanet(rng, pcfg)
-    pipe = FusedPointUnet(smodel, svars, pmodel, pvars, scfg, pcfg)
+    # brain-ROI attention window, mirroring the reference's bbox crop
+    # (data_sampler.py:448) with a static TPU-friendly shape: generous
+    # upper bound on skull-stripped BraTS brain extents + margin
+    pipe = FusedPointUnet(
+        smodel, svars, pmodel, pvars, scfg, pcfg,
+        roi_shape=(192, 208, 155),
+    )
 
     key = jax.random.PRNGKey(1)
     mods = jax.random.normal(key, (4, 240, 240, 155), jnp.float32)
-    # make ~35% of voxels "brain" and the rest exact zeros
-    brainmask = jax.random.uniform(key, (240, 240, 155)) < 0.35
+    # anatomically-sized ellipsoid brain (~150 x 176 x 140 extents, the
+    # scale real skull-stripped BraTS brains occupy); outside exact zeros
+    xx, yy, zz = jnp.meshgrid(
+        jnp.arange(240), jnp.arange(240), jnp.arange(155), indexing="ij"
+    )
+    brainmask = (
+        ((xx - 120.0) / 75.0) ** 2
+        + ((yy - 122.0) / 88.0) ** 2
+        + ((zz - 76.0) / 70.0) ** 2
+    ) < 1.0
     mods = mods * brainmask[None]
 
     out = pipe.segment_device(mods, key)

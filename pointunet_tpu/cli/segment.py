@@ -91,6 +91,12 @@ def main(argv=None):
                         help="fully device-resident path: whole-volume "
                              "attention window (bf16) + on-device sampling "
                              "(pipeline/fused.py)")
+    parser.add_argument("--roi", type=int, nargs=3, default=None,
+                        metavar=("X", "Y", "Z"),
+                        help="static brain-ROI crop for the fast path's "
+                             "attention stage (the reference crops to the "
+                             "brain bbox, data_sampler.py:448); e.g. "
+                             "--roi 192 208 155 for BraTS")
     parser.add_argument("--postprocess", action="store_true")
     args = parser.parse_args(argv)
 
@@ -117,6 +123,7 @@ def main(argv=None):
                     pipeline.pcfg,
                     threshold=args.threshold,
                     volume_shape=mods.shape[1:],
+                    roi_shape=args.roi,
                 )
             labels = fast_pipe.segment_volume(
                 mods, brats_labels=args.dataset == "brats"

@@ -97,3 +97,55 @@ def test_fused_pipeline_batch_sharded(rng):
         pipe.segment_device(jnp.asarray(mods[0]), keys[0])
     )
     np.testing.assert_array_equal(labels[0], one)
+
+
+def test_fused_pipeline_roi_crop(rng):
+    """Static brain-ROI attention (reference crops to the brain bbox
+    before attention inference, data_sampler.py:448): the mask must be
+    empty outside the window, the window must cover the brain bbox
+    center, and the end-to-end path must still produce labels."""
+    scfg = brats_saliency_config(base_filter=4)
+    pcfg = brats_pointseg_config(num_points=1024, k_n=8)
+    k = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(k, scfg)
+    pmodel, pvars = init_randlanet(k, pcfg, num_points=1024)
+    pipe = FusedPointUnet(
+        smodel, svars, pmodel, pvars, scfg, pcfg,
+        # threshold 0: every in-ROI voxel is salient -> mask == ROI window
+        threshold=0.0, volume_shape=(32, 32, 16), roi_shape=(16, 16, 16),
+    )
+    mods = np.zeros((4, 32, 32, 16), np.float32)
+    # brain occupying x 8..24, y 12..28, z 2..14 -> centers (16, 20, 8)
+    mods[:, 8:24, 12:28, 2:14] = rng.uniform(
+        0.5, 1.5, (4, 16, 16, 12)
+    ).astype(np.float32)
+    mask = np.asarray(pipe._attention_mask(jnp.asarray(mods)))
+    assert mask.shape == (32, 32, 16)
+    # window centered on the bbox center, clamped: x [8, 24), y [12, 28),
+    # z clamps to [0, 16)
+    expect = np.zeros((32, 32, 16), bool)
+    expect[8:24, 12:28, 0:16] = True
+    np.testing.assert_array_equal(mask, expect)
+    labels = pipe.segment_volume(mods)
+    assert labels.shape == (32, 32, 16)
+
+
+def test_fused_pipeline_roi_matches_full_when_roi_is_volume(rng):
+    """roi_shape == volume_shape must be numerically identical to the
+    un-cropped path (same window, same padding, same IN footprint)."""
+    scfg = brats_saliency_config(base_filter=4)
+    pcfg = brats_pointseg_config(num_points=1024, k_n=8)
+    k = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(k, scfg)
+    pmodel, pvars = init_randlanet(k, pcfg, num_points=1024)
+    common = (smodel, svars, pmodel, pvars, scfg, pcfg)
+    full = FusedPointUnet(*common, threshold=0.5, volume_shape=(32, 32, 16))
+    roi = FusedPointUnet(
+        *common, threshold=0.5, volume_shape=(32, 32, 16),
+        roi_shape=(48, 32, 16),   # clamps to the volume shape
+    )
+    assert roi.roi_shape == (32, 32, 16)
+    mods = rng.standard_normal((4, 32, 32, 16)).astype(np.float32)
+    a = np.asarray(full._attention_mask(jnp.asarray(mods)))
+    b = np.asarray(roi._attention_mask(jnp.asarray(mods)))
+    np.testing.assert_array_equal(a, b)
