@@ -261,8 +261,12 @@ class SaliencyUNet(nn.Module):
             c12 = sa.astype(c12.dtype) * c12
 
         fea = jnp.concatenate([c12, c345], axis=-1)
+        # dtype=dt: without it the f32 kernel promotes the whole 128-ch
+        # full-res feature map to f32 (a multi-GB materialization at the
+        # whole-volume window) before an f32 conv; logits still emit f32
         logits = FastConv(
-            cfg.num_class, (3, 3, 3), padding="SAME", kernel_init=_CONV_INIT
+            cfg.num_class, (3, 3, 3), padding="SAME",
+            kernel_init=_CONV_INIT, dtype=dt,
         )(fea)
         return logits.astype(jnp.float32)
 
