@@ -305,7 +305,8 @@ class UNet3D(nn.Module):
             )(layer, train)
             if cfg.deep_supervision and 0 < d < 3:
                 pred = FastConv(
-                    cfg.num_class, (1, 1, 1), kernel_init=_CONV_INIT
+                    cfg.num_class, (1, 1, 1), kernel_init=_CONV_INIT,
+                    dtype=dt,
                 )(layer)
                 if deep_supervision is None:
                     deep_supervision = pred
@@ -314,11 +315,11 @@ class UNet3D(nn.Module):
                 deep_supervision = _upsample_nearest(deep_supervision, 2)
 
         logits = FastConv(
-            cfg.num_class, (1, 1, 1), kernel_init=_CONV_INIT
+            cfg.num_class, (1, 1, 1), kernel_init=_CONV_INIT, dtype=dt,
         )(layer)
         if cfg.deep_supervision and deep_supervision is not None:
             logits = logits + deep_supervision
-        return logits
+        return logits.astype(jnp.float32)
 
 
 def init_saliency_unet(
