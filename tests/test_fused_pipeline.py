@@ -128,6 +128,16 @@ def test_fused_pipeline_roi_crop(rng):
     np.testing.assert_array_equal(mask, expect)
     labels = pipe.segment_volume(mods)
     assert labels.shape == (32, 32, 16)
+    # the batched path vmaps the dynamic-slice window per volume
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    batched = np.asarray(
+        pipe.segment_batch_device(
+            jnp.asarray(np.stack([mods, mods])), keys
+        )
+    )
+    assert batched.shape == (2, 16, 32, 32)
+    one = np.asarray(pipe.segment_device(jnp.asarray(mods), keys[0]))
+    np.testing.assert_array_equal(batched[0], one)
 
 
 def test_fused_pipeline_roi_matches_full_when_roi_is_volume(rng):
