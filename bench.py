@@ -203,6 +203,9 @@ def bench_accuracy(args) -> dict:
     pipe = FusedPointUnet(
         strainer.model, to_vars(sstate), ptrainer.model, to_vars(pstate),
         scfg, pcfg, threshold=0.5, volume_shape=shape,
+        # brain-ROI window proportional to the synthetic brain (the bench
+        # e2e configuration) so the Dice evidence covers the ROI path
+        roi_shape=(88, 88, 60),
     )
     # warm the pipeline programs once so the timed loop measures steady
     # state, not the first-call XLA compiles
