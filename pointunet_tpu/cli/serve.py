@@ -1,0 +1,115 @@
+"""Persistent segmentation service: watch a directory, segment arrivals.
+
+No reference equivalent — the reference is batch scripts only. This is the
+deployment-shaped entry point for the TPU rebuild: the process loads
+checkpoints ONCE, builds the fused device-resident pipeline (whose XLA
+programs compile on the first case and stay warm), then polls an inbox
+directory for new BraTS-layout case folders and writes ``<case>.nii.gz``
+labels plus a ``<case>.json`` latency/status record to the outbox. Cases
+already present in the outbox are skipped, so the service is restart-safe
+and idempotent.
+
+Layout contract: each inbox entry is a case directory of
+``<case>_{t1ce,t1,flair,t2}.nii.gz`` files — identical to the training
+data layout (data/loader.py find_brats_cases).
+
+Usage:
+    python -m pointunet_tpu.cli.serve --inbox in/ --outbox out/ \
+        --saliency_checkpoint ... --pointseg_checkpoint ... [--once]
+
+``--once`` drains the current inbox and exits (also the test mode);
+without it the service polls forever at ``--poll_s`` intervals.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..data import nifti
+from ..data.loader import find_brats_cases, load_brats_case
+from .segment import build_pipeline
+
+
+def _serve_case(fast_pipe, case_dir, outbox, brats_labels):
+    case = os.path.basename(case_dir.rstrip("/"))
+    out_nii = os.path.join(outbox, case + ".nii.gz")
+    out_rec = os.path.join(outbox, case + ".json")
+    if os.path.exists(out_rec):
+        return None
+    rec, _ = load_brats_case(case_dir, with_label=False, crop=False)
+    mods = np.transpose(rec.image, (0, 3, 2, 1))    # [z,y,x] -> (C, X, Y, Z)
+    t0 = time.time()
+    labels = fast_pipe.segment_volume(mods, brats_labels=brats_labels)
+    latency = time.time() - t0
+    nifti.save(labels.astype(np.uint8), out_nii)
+    with open(out_rec, "w") as f:
+        json.dump(
+            {"case": case, "latency_s": round(latency, 3),
+             "labels": out_nii, "voxels": int((labels > 0).sum())},
+            f,
+        )
+    return latency
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--inbox", type=str, required=True,
+                        help="directory of incoming case folders")
+    parser.add_argument("--outbox", type=str, required=True)
+    parser.add_argument("--dataset", choices=["brats", "pancreas"],
+                        default="brats")
+    parser.add_argument("--saliency_checkpoint", type=str, default=None)
+    parser.add_argument("--pointseg_checkpoint", type=str, default=None)
+    parser.add_argument("--threshold", type=float, default=0.9)
+    parser.add_argument("--n_point", type=int, default=365000)
+    parser.add_argument("--roi", type=int, nargs=3, default=None,
+                        metavar=("X", "Y", "Z"))
+    parser.add_argument("--poll_s", type=float, default=2.0)
+    parser.add_argument("--once", action="store_true",
+                        help="drain the inbox once and exit")
+    args = parser.parse_args(argv)
+    args.fast = True                       # build_pipeline: bf16 fused path
+
+    pipeline = build_pipeline(args)
+    os.makedirs(args.outbox, exist_ok=True)
+    fast_pipe = None
+
+    from ..pipeline.fused import FusedPointUnet
+
+    served = 0
+    while True:
+        for case_dir in find_brats_cases(args.inbox):
+            rec, _ = load_brats_case(case_dir, with_label=False, crop=False)
+            mods_shape = np.transpose(rec.image, (0, 3, 2, 1)).shape
+            if fast_pipe is None:
+                fast_pipe = FusedPointUnet(
+                    pipeline.saliency_model,
+                    pipeline.saliency_variables,
+                    pipeline.pointseg_model,
+                    pipeline.pointseg_variables,
+                    pipeline.scfg,
+                    pipeline.pcfg,
+                    threshold=args.threshold,
+                    volume_shape=mods_shape[1:],
+                    roi_shape=args.roi,
+                )
+            latency = _serve_case(
+                fast_pipe, case_dir, args.outbox,
+                brats_labels=args.dataset == "brats",
+            )
+            if latency is not None:
+                served += 1
+                print(f"served {os.path.basename(case_dir)}: "
+                      f"{latency:.2f} s (total {served})", flush=True)
+        if args.once:
+            break
+        time.sleep(args.poll_s)
+    return served
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Persistent serve CLI: drain-once mode on a synthetic inbox."""
+import json
+import os
+
+import numpy as np
+
+from util_synthetic import make_brats_case
+
+
+def test_serve_once_drains_inbox(tmp_path, rng):
+    from pointunet_tpu.cli import serve
+    from pointunet_tpu.data import nifti
+
+    inbox = tmp_path / "in"
+    outbox = tmp_path / "out"
+    for cid in ("case_101", "case_102"):
+        make_brats_case(str(inbox), cid, shape=(32, 32, 16), rng=rng)
+
+    args = [
+        "--inbox", str(inbox), "--outbox", str(outbox),
+        "--n_point", "1024", "--roi", "16", "16", "16", "--once",
+    ]
+    served = serve.main(args)
+    assert served == 2
+    for cid in ("case_101", "case_102"):
+        rec = json.loads((outbox / f"{cid}.json").read_text())
+        assert rec["case"] == cid and rec["latency_s"] > 0
+        img = nifti.load(str(outbox / f"{cid}.nii.gz"))
+        labels = np.asarray(img.get_fdata())
+        assert labels.shape == (32, 32, 16)
+        assert set(np.unique(labels)) <= {0, 1, 2, 4}
+
+    # idempotent: a second drain serves nothing new
+    assert serve.main(args) == 0
