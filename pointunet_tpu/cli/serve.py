@@ -34,14 +34,11 @@ from ..data.loader import find_brats_cases, load_brats_case
 from .segment import build_pipeline
 
 
-def _serve_case(fast_pipe, case_dir, outbox, brats_labels):
-    case = os.path.basename(case_dir.rstrip("/"))
+def _serve_case(fast_pipe, case, mods, outbox, brats_labels):
     out_nii = os.path.join(outbox, case + ".nii.gz")
     out_rec = os.path.join(outbox, case + ".json")
     if os.path.exists(out_rec):
         return None
-    rec, _ = load_brats_case(case_dir, with_label=False, crop=False)
-    mods = np.transpose(rec.image, (0, 3, 2, 1))    # [z,y,x] -> (C, X, Y, Z)
     t0 = time.time()
     labels = fast_pipe.segment_volume(mods, brats_labels=brats_labels)
     latency = time.time() - t0
@@ -80,11 +77,37 @@ def main(argv=None):
 
     from ..pipeline.fused import FusedPointUnet
 
+    def iter_cases():
+        """(case_id, mods (C, X, Y, Z)) for every inbox arrival."""
+        def fresh(case):
+            return not os.path.exists(
+                os.path.join(args.outbox, case + ".json")
+            )
+
+        if args.dataset == "brats":
+            for case_dir in find_brats_cases(args.inbox):
+                case = os.path.basename(case_dir.rstrip("/"))
+                if not fresh(case):
+                    continue
+                rec, _ = load_brats_case(
+                    case_dir, with_label=False, crop=False
+                )
+                yield case, np.transpose(rec.image, (0, 3, 2, 1))
+        else:
+            from ..data.loader import load_pancreas_case
+
+            for fname in sorted(os.listdir(args.inbox)):
+                if not fname.startswith("PANCREAS_") or ".nii" not in fname:
+                    continue
+                case = fname.split(".nii")[0]
+                if not fresh(case):
+                    continue
+                rec = load_pancreas_case(os.path.join(args.inbox, fname))
+                yield case, np.transpose(rec.image, (0, 3, 2, 1))
+
     served = 0
     while True:
-        for case_dir in find_brats_cases(args.inbox):
-            rec, _ = load_brats_case(case_dir, with_label=False, crop=False)
-            mods_shape = np.transpose(rec.image, (0, 3, 2, 1)).shape
+        for case, mods in iter_cases():
             if fast_pipe is None:
                 fast_pipe = FusedPointUnet(
                     pipeline.saliency_model,
@@ -94,17 +117,17 @@ def main(argv=None):
                     pipeline.scfg,
                     pipeline.pcfg,
                     threshold=args.threshold,
-                    volume_shape=mods_shape[1:],
+                    volume_shape=mods.shape[1:],
                     roi_shape=args.roi,
                 )
             latency = _serve_case(
-                fast_pipe, case_dir, args.outbox,
+                fast_pipe, case, mods, args.outbox,
                 brats_labels=args.dataset == "brats",
             )
             if latency is not None:
                 served += 1
-                print(f"served {os.path.basename(case_dir)}: "
-                      f"{latency:.2f} s (total {served})", flush=True)
+                print(f"served {case}: {latency:.2f} s (total {served})",
+                      flush=True)
         if args.once:
             break
         time.sleep(args.poll_s)

@@ -32,3 +32,23 @@ def test_serve_once_drains_inbox(tmp_path, rng):
 
     # idempotent: a second drain serves nothing new
     assert serve.main(args) == 0
+
+
+def test_serve_pancreas_inbox(tmp_path, rng):
+    from pointunet_tpu.cli import serve
+    from pointunet_tpu.data import nifti
+    import numpy as np
+
+    inbox = tmp_path / "in"
+    outbox = tmp_path / "out"
+    inbox.mkdir()
+    ct = rng.uniform(-200, 300, (32, 32, 16)).astype(np.float32)
+    nifti.save(ct, str(inbox / "PANCREAS_0001.nii.gz"))
+
+    served = serve.main([
+        "--inbox", str(inbox), "--outbox", str(outbox),
+        "--dataset", "pancreas", "--n_point", "1024", "--once",
+    ])
+    assert served == 1
+    img = nifti.load(str(outbox / "PANCREAS_0001.nii.gz"))
+    assert np.asarray(img.get_fdata()).shape == (32, 32, 16)
