@@ -359,6 +359,28 @@ def bench_e2e_parity(repeats: int) -> dict:
     }
 
 
+def _backend_reachable(timeout_s: int = 180) -> bool:
+    """Probe JAX backend init in a subprocess with a hard timeout.
+
+    The tunneled TPU plugin hangs indefinitely inside ``import jax`` /
+    ``jax.devices()`` when the relay is unreachable (observed r2: >4 h
+    outage) — a stuck bench would then eat the whole verification budget.
+    A subprocess probe turns that into a fast, honest failure.
+    """
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -373,6 +395,17 @@ def main():
     parser.add_argument("--saliency_steps", type=int, default=400)
     parser.add_argument("--pointseg_steps", type=int, default=800)
     args = parser.parse_args()
+
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "backend_unreachable",
+            "value": 0,
+            "unit": "error",
+            "vs_baseline": 0,
+            "note": "JAX backend init hung/failed in a 180 s subprocess "
+                    "probe (TPU tunnel down); no measurement taken",
+        }))
+        raise SystemExit(1)
 
     if args.preset == "e2e":
         print(json.dumps(bench_e2e(args.repeats)))
