@@ -164,11 +164,13 @@ def bench_accuracy(args) -> dict:
         records, scfg.patch_size, scfg.batch_size,
         np.random.default_rng(1), "one_positive",
     )
+    saliency_loss = float("nan")
     for k, (im, w, lab) in zip(range(args.saliency_steps), batches):
-        sstate, m = strainer.train_step(
+        sstate, sm = strainer.train_step(
             sstate, jnp.asarray(im), jnp.asarray(w), jnp.asarray(lab)
         )
-    saliency_loss = float(m["loss"])
+        if k == args.saliency_steps - 1:
+            saliency_loss = float(sm["loss"])
 
     # ---- stage 3: RandLA-Net on context-sampled clouds ----
     pcfg = brats_pointseg_config(num_points=n_points, learning_rate=1e-3)
@@ -182,13 +184,15 @@ def bench_accuracy(args) -> dict:
             jnp.asarray(mods), jnp.asarray((seg > 0).astype(np.uint8)),
             jax.random.PRNGKey(i), n_points, labels=jnp.asarray(seg),
         ))
+    pointseg_loss = float("nan")
     for k in range(args.pointseg_steps):
         c = clouds[k % len(clouds)]
         feats = jnp.concatenate([c.xyz, c.features], -1)[None]
-        pstate, m = ptrainer.train_step(
+        pstate, pm = ptrainer.train_step(
             pstate, c.xyz[None], feats, c.labels[None]
         )
-    pointseg_loss = float(m["loss"])
+        if k == args.pointseg_steps - 1:
+            pointseg_loss = float(pm["loss"])
 
     # ---- fused pipeline on held-out volumes ----
     import jax.tree_util as jtu

@@ -37,8 +37,6 @@ from .segment import build_pipeline
 def _serve_case(fast_pipe, case, mods, outbox, brats_labels):
     out_nii = os.path.join(outbox, case + ".nii.gz")
     out_rec = os.path.join(outbox, case + ".json")
-    if os.path.exists(out_rec):
-        return None
     t0 = time.time()
     labels = fast_pipe.segment_volume(mods, brats_labels=brats_labels)
     latency = time.time() - t0
@@ -73,12 +71,13 @@ def main(argv=None):
 
     pipeline = build_pipeline(args)
     os.makedirs(args.outbox, exist_ok=True)
-    fast_pipe = None
 
     from ..pipeline.fused import FusedPointUnet
 
     def iter_cases():
-        """(case_id, mods (C, X, Y, Z)) for every inbox arrival."""
+        """(case_id, load_thunk) for every not-yet-served inbox arrival.
+        Loading is deferred into the caller's try block: a half-copied
+        case must not kill the scan."""
         def fresh(case):
             return not os.path.exists(
                 os.path.join(args.outbox, case + ".json")
@@ -87,12 +86,15 @@ def main(argv=None):
         if args.dataset == "brats":
             for case_dir in find_brats_cases(args.inbox):
                 case = os.path.basename(case_dir.rstrip("/"))
-                if not fresh(case):
-                    continue
-                rec, _ = load_brats_case(
-                    case_dir, with_label=False, crop=False
-                )
-                yield case, np.transpose(rec.image, (0, 3, 2, 1))
+                if fresh(case):
+                    yield case, (
+                        lambda d=case_dir: np.transpose(
+                            load_brats_case(
+                                d, with_label=False, crop=False
+                            )[0].image,
+                            (0, 3, 2, 1),
+                        )
+                    )
         else:
             from ..data.loader import load_pancreas_case
 
@@ -100,34 +102,55 @@ def main(argv=None):
                 if not fname.startswith("PANCREAS_") or ".nii" not in fname:
                     continue
                 case = fname.split(".nii")[0]
-                if not fresh(case):
-                    continue
-                rec = load_pancreas_case(os.path.join(args.inbox, fname))
-                yield case, np.transpose(rec.image, (0, 3, 2, 1))
+                if fresh(case):
+                    yield case, (
+                        lambda f=fname: np.transpose(
+                            load_pancreas_case(
+                                os.path.join(args.inbox, f)
+                            ).image,
+                            (0, 3, 2, 1),
+                        )
+                    )
 
+    # one compiled pipeline per volume shape (pancreas CTs vary per case;
+    # the jitted stages pin their pad/crop constants at construction)
+    pipes = {}
+    failures = {}
     served = 0
     while True:
-        for case, mods in iter_cases():
-            if fast_pipe is None:
-                fast_pipe = FusedPointUnet(
-                    pipeline.saliency_model,
-                    pipeline.saliency_variables,
-                    pipeline.pointseg_model,
-                    pipeline.pointseg_variables,
-                    pipeline.scfg,
-                    pipeline.pcfg,
-                    threshold=args.threshold,
-                    volume_shape=mods.shape[1:],
-                    roi_shape=args.roi,
+        for case, load in iter_cases():
+            if failures.get(case, 0) >= 3:
+                continue
+            try:
+                mods = load()
+                shape = tuple(mods.shape[1:])
+                if shape not in pipes:
+                    pipes[shape] = FusedPointUnet(
+                        pipeline.saliency_model,
+                        pipeline.saliency_variables,
+                        pipeline.pointseg_model,
+                        pipeline.pointseg_variables,
+                        pipeline.scfg,
+                        pipeline.pcfg,
+                        threshold=args.threshold,
+                        volume_shape=shape,
+                        roi_shape=args.roi,
+                    )
+                latency = _serve_case(
+                    pipes[shape], case, mods, args.outbox,
+                    brats_labels=args.dataset == "brats",
                 )
-            latency = _serve_case(
-                fast_pipe, case, mods, args.outbox,
-                brats_labels=args.dataset == "brats",
-            )
-            if latency is not None:
-                served += 1
-                print(f"served {case}: {latency:.2f} s (total {served})",
+            except Exception as e:       # contain per-case failures:
+                # a malformed/half-copied case is retried on later polls
+                # (it may still be uploading) and skipped after 3 strikes
+                # so it cannot crash-loop or starve the rest of the inbox
+                failures[case] = failures.get(case, 0) + 1
+                print(f"ERROR {case} (attempt {failures[case]}/3): {e}",
                       flush=True)
+                continue
+            served += 1
+            print(f"served {case}: {latency:.2f} s (total {served})",
+                  flush=True)
         if args.once:
             break
         time.sleep(args.poll_s)

@@ -97,12 +97,27 @@ def main(argv=None):
         state = restored
         records, metas = _load_records(args, with_label=args.evaluate)
         if args.evaluate:
+            # evaluate in the training view: a sagittal/coronal-trained
+            # model must see transposed volumes, mirroring training
+            # (reference transposes per DIRECTION before eval)
+            if cfg.direction != "axial":
+                from ..data.sampler import transpose_record
+
+                records = [
+                    transpose_record(r, cfg.direction) for r in records
+                ]
             trainer.evaluate(state, records, log)
             return
         os.makedirs(args.outPros_path, exist_ok=True)
         for rec, meta in zip(records, metas):
             vol = np.moveaxis(rec.image, 0, -1)          # (D, H, W, C)
-            probs = trainer.predict_volume(state, jnp.asarray(vol))
+            # predict_volume_tta transposes the volume into the model's
+            # training view and inverse-transposes the probabilities, so
+            # saved maps are axial-aligned for the downstream pipeline
+            # regardless of --direction (reference eval.py:355-411)
+            probs = trainer.predict_volume_tta(
+                state, vol, direction=cfg.direction
+            )
             # back to (X, Y, Z, C); undo the brain crop if one was applied
             probs_xyz = np.transpose(probs, (2, 1, 0, 3))
             if "bbox" in meta and "original_shape" in meta:

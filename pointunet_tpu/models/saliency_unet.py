@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..core.config import SaliencyConfig
 from .attention3d import ChannelWiseAttention3D, SpatialAttention3D
-from .fastconv import FastConv
+from .fastconv import FastConv, _nearest_upsample
 from .norms import NormRelu
 
 _CONV_INIT = nn.initializers.glorot_uniform()
@@ -113,13 +113,6 @@ class CFE3D(nn.Module):
                 )(x, train)
             )
         return jnp.concatenate(outs, axis=-1)
-
-
-def _upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
-    """keras UpSampling3D: nearest-neighbor repeat along D, H, W."""
-    for axis in (1, 2, 3):
-        x = jnp.repeat(x, scale, axis=axis)
-    return x
 
 
 class UpsampleConv(nn.Module):
@@ -312,7 +305,7 @@ class UNet3D(nn.Module):
                     deep_supervision = pred
                 else:
                     deep_supervision = deep_supervision + pred
-                deep_supervision = _upsample_nearest(deep_supervision, 2)
+                deep_supervision = _nearest_upsample(deep_supervision, 2)
 
         logits = FastConv(
             cfg.num_class, (1, 1, 1), kernel_init=_CONV_INIT, dtype=dt,

@@ -55,8 +55,14 @@ except ImportError:                     # pragma: no cover
 from .knn_window import knn_cell_window, _round_up
 
 
-def default_halo(n: int, alpha: float = 1.8, slack: float = 2.0) -> int:
-    """Rows in one grid-cell x-layer on the density bound, with slack."""
+def default_halo(n: int, alpha: float = 1.8, slack: float = 4.0) -> int:
+    """Rows in one grid-cell x-layer on the density bound, with slack.
+
+    slack 4.0 matches the forward cell-window sizing (ops/knn_pallas.py):
+    the on-chip exactness sweep showed 2.0 truncates windows in dense
+    all-voxel tumor regions (recall 0.989 there) — a halo sized with the
+    same 2.0 would drop true cross-boundary neighbors for shards whose
+    edge lands inside such a region."""
     return _round_up(int(slack * alpha * float(n) ** (2.0 / 3.0)) + 128, 128)
 
 

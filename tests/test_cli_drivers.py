@@ -127,6 +127,11 @@ class _StubTrainer:
         type(self).calls.append(("predict", tuple(vol.shape)))
         return np.zeros(tuple(vol.shape[:3]) + (2,), np.float32)
 
+    def predict_volume_tta(self, state, vol, direction="axial",
+                           test_flip=False):
+        type(self).calls.append(("predict_tta", direction))
+        return self.predict_volume(state, np.asarray(vol))
+
 
 def test_train_attention_wiring(tmp_path, rng, monkeypatch):
     from pointunet_tpu.cli import train_attention

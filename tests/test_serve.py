@@ -52,3 +52,25 @@ def test_serve_pancreas_inbox(tmp_path, rng):
     assert served == 1
     img = nifti.load(str(outbox / "PANCREAS_0001.nii.gz"))
     assert np.asarray(img.get_fdata()).shape == (32, 32, 16)
+
+
+def test_serve_contains_per_case_failures(tmp_path, rng):
+    """A malformed case (missing modality) must not kill the service or
+    block other cases; it is retried up to 3 polls, never recorded."""
+    from pointunet_tpu.cli import serve
+
+    inbox = tmp_path / "in"
+    outbox = tmp_path / "out"
+    make_brats_case(str(inbox), "case_ok", shape=(32, 32, 16), rng=rng)
+    bad = inbox / "case_bad"
+    bad.mkdir()
+    (bad / "case_bad_t1ce.nii.gz").write_bytes(b"not a nifti")
+
+    args = [
+        "--inbox", str(inbox), "--outbox", str(outbox),
+        "--n_point", "1024", "--roi", "16", "16", "16", "--once",
+    ]
+    served = serve.main(args)
+    assert served == 1
+    assert (outbox / "case_ok.json").exists()
+    assert not (outbox / "case_bad.json").exists()
