@@ -5,7 +5,17 @@ Times, at bench shapes with randomly-initialized weights:
   2. e2e segment_device with ROI (the bench configuration)
   3. knn_pallas level-0 365k (validates the fused selection sweep's win)
 
-Run:  python docs/ablate_attention.py          (needs the TPU chip)
+Run:  PYTHONPATH=. python docs/ablate_attention.py    (needs the TPU chip)
+
+Recorded run (2026-08-18, single v5e via axon tunnel; min of 6, ms):
+
+    attention_mask FULL (160,240,240)      460.1
+    attention_mask ROI (160,208,192)       331.3
+    e2e segment_device FULL                835.1
+    e2e segment_device ROI                 712.2   <- bench.py config
+    knn_pallas 365k x 16 (fused sweep)     164.9
+
+bench.py --preset e2e recorded 715.19 ms median the same day.
 """
 import time
 
