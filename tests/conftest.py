@@ -4,12 +4,13 @@ Multi-device sharding tests run on a simulated mesh
 (xla_force_host_platform_device_count), mirroring how the driver validates
 the multi-chip path without real chips.
 
-IMPORTANT (this environment): run tests as `PYTHONPATH= python -m pytest` —
-the global PYTHONPATH injects a sitecustomize that registers the tunneled
+IMPORTANT (this environment): prefer `PYTHONPATH= python -m pytest` — the
+global PYTHONPATH injects a sitecustomize that registers the tunneled
 "axon" TPU PJRT plugin into every interpreter, and concurrent JAX processes
-deadlock on its single loopback relay. Stripping PYTHONPATH keeps tests on
-pure local CPU. (We also scrub the axon path below for the common case, but
-sitecustomize has already run by the time conftest is imported.)
+deadlock on its single loopback relay. The env vars below are not enough on
+their own (the plugin registration pins jax_platforms before conftest
+runs), so we ALSO force the config back to cpu after importing jax; a
+plain `python -m pytest` then still runs the suite on local CPU.
 """
 import os
 
@@ -36,6 +37,14 @@ import pytest  # noqa: E402
 # eager flax applies dispatch hundreds of per-op round-trips and cost
 # more than the jit trace they avoid.
 import jax  # noqa: E402
+
+if os.environ.get("POINTUNET_TPU_TESTS") != "1":
+    # sitecustomize's axon plugin registration overrides JAX_PLATFORMS;
+    # re-pin cpu post-import (validated: backend falls back to the 8
+    # virtual CPU devices even with the plugin registered). Without this
+    # a PYTHONPATH-polluted run silently executes on the real chip, where
+    # default conv/matmul precision is bf16 and f32-tolerance tests fail.
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update(
     "jax_compilation_cache_dir",
