@@ -5,18 +5,36 @@ and mask tensors in HBM for each of the 9 window offsets. This kernel fuses
 the whole per-tile pipeline in VMEM:
 
   for each query tile t (grid):
-    issue ALL 18 window DMAs [w0[t,o], w0[t,o]+W) up front (overlapped —
-      serial start/wait pairs are latency-bound), wait once
-    for each of the 9 (dx, dy) offsets (unrolled):
+    issue the window DMAs up front (overlapped — serial start/wait pairs
+      are latency-bound), wait once
+    for each window group (unrolled):
       distances  = explicit difference form      (VPU, f32)
       validity   = decoded-cell-coordinate check (VPU)
-      pack (d^2 bits | global column) into an int32 key -> (T, 9W) board
+      pack (d^2 bits | global column) into an int32 key -> scoreboard
     k-step min extraction: per step ONE min-reduce (the key carries both
-      distance and identity; no argmin pass) + one knockout sweep
+      distance and identity; no argmin pass) filtered by "key strictly
+      greater than the previous winner" (keys are unique, so winners come
+      out in increasing order — no knockout writes)
 
-HBM traffic per tile is exactly the window bytes (no intermediate tensors),
-and the selection runs entirely out of VMEM. Window size is a power of two
-so the final column -> (offset, col) decode is shift/mask.
+Cost model, measured at 365k x k=16 on v5e: the kernel is bound by
+per-tile FIXED overhead (DMA issue/wait latency, ~1-2 us each) plus VPU
+sweeps proportional to the scoreboard width. Both are attacked
+structurally:
+
+  * ONE merged (16, W) DMA per window carries coords (rows 0-2) AND the
+    decoded cell coordinates bitcast into rows 8-10 — half the DMA count
+    of separate coord/cell copies at identical bytes.
+  * Tiles are split by measured candidate density (exact per-window
+    extents from the cell prefix sums) into two predicated launches over
+    the same grid: sparse tiles run a 3-window kernel (one contiguous
+    [dy-1, dy+1] span per dx — 3 DMAs, small board), dense tiles the
+    9-window kernel at full width. A dynamic chunk-list formulation
+    measured 1.5x SLOWER than static boards (Mosaic per-iteration
+    scalar/dynamic-slice overhead), hence static shapes + pl.when.
+
+HBM traffic per tile is exactly the window bytes (no intermediate
+tensors), and the selection runs entirely out of VMEM. Window size is a
+power of two so the final column -> (group, col) decode is shift/mask.
 
 The host-side wrapper reuses the sort/cell bookkeeping from knn_window and
 falls back to the XLA path off-TPU (tests, CPU sim).
@@ -36,11 +54,19 @@ from .knn import pad_k_columns
 from .knn_window import _grid_resolution, _round_up, knn_cell_window
 
 
-def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
-    nw = n_offsets * window
+def _kernel_factory(
+    tile: int, window: int, k: int, groups: int, flag: int = -1
+):
+    """groups == 9: one window per (dx, dy) offset. groups == 3: one
+    contiguous window per dx covering the [dy-1, dy+1] cell span (fewer
+    DMAs; windows are wider). flag >= 0: per-tile class predication — the
+    body runs only for tiles whose prefetched class equals ``flag`` (the
+    dual-launch density split). flag == -1: single launch, no gate."""
+    assert groups in (3, 9)
+    nw = groups * window
     log2w = int(math.log2(window))
     assert 1 << log2w == window, "window must be a power of two"
-    # the global column (offset * W + within-window) is packed into the low
+    # the global column (group * W + within-window) is packed into the low
     # mantissa bits of the distance key; 9 * 4096 columns max keeps this at
     # 13 bits of d^2 mantissa loss (relative quantization ~2^-10 — far
     # below the cell-window approximation noise)
@@ -50,51 +76,68 @@ def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
     INVALID = np.int32(0x7FFFFFFF)  # python scalar: not a captured tracer
 
     def kernel(
-        w0_ref,       # (nt*9,) int32 flat window starts (scalar prefetch)
+        w0_ref,       # (nt*groups,) int32 window starts (scalar prefetch)
+        cls_ref,      # (nt,) int32 per-tile density class (scalar prefetch)
         qp_ref,       # (T, 8) f32 queries, coord-padded (VMEM block)
         qc_ref,       # (T, 3) int32 decoded query cells (VMEM block)
-        sp_ref,       # (8, Ns_pad) f32 sorted support, transposed+padded (HBM)
-        sc_ref,       # (8, Ns_pad) int32 decoded support cells (HBM)
+        sup_ref,      # (16, Ns_pad) f32 sorted support: rows 0-2 coords,
+                      #   rows 8-10 int32 cells bitcast to f32 (HBM)
         out_idx_ref,  # (T, k) int32 (VMEM block)
         out_negd_ref, # (T, k) f32 (VMEM block)
-        rows_buf,     # (8, nw) f32 scratch: all 9 windows side by side
-        cells_buf,    # (8, nw) int32 scratch
+        buf,          # (16, nw) f32 scratch: all windows side by side
         score_ref,    # (T, nw) int32 packed-key scoreboard
-        sem,          # (18,) DMA semaphores
+        sem,          # (groups,) DMA semaphores
     ):
         t = pl.program_id(0)
+
+        def body():
+            _tile_body(
+                t, w0_ref, qp_ref, qc_ref, sup_ref,
+                out_idx_ref, out_negd_ref, buf, score_ref, sem,
+            )
+
+        if flag >= 0:
+            pl.when(cls_ref[t] == flag)(body)
+        else:
+            body()
+
+    def _tile_body(
+        t, w0_ref, qp_ref, qc_ref, sup_ref,
+        out_idx_ref, out_negd_ref, buf, score_ref, sem,
+    ):
         qp = qp_ref[:]                          # (T, 8), cols 3..7 zero
         qc = qc_ref[:]                          # (T, 3)
 
-        offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-        # issue all 18 window DMAs up front: at ~1-2 us latency each,
-        # serial start/wait pairs cost ~50 ms across the 2.8k tiles of a
-        # BraTS cloud; batched issue overlaps them all
+        # issue all window DMAs up front: at ~1-2 us latency each, serial
+        # start/wait pairs are the kernel's fixed-cost floor across the
+        # ~2.8k tiles of a BraTS cloud; batched issue overlaps them
         copies = []
-        for o in range(n_offsets):
+        for g in range(groups):
             # starts are pre-aligned to the 128-lane tiling on the host
-            w0 = pl.multiple_of(w0_ref[t * 9 + o], 128)
-            cp_rows = pltpu.make_async_copy(
-                sp_ref.at[:, pl.ds(w0, window)],
-                rows_buf.at[:, pl.ds(o * window, window)],
-                sem.at[2 * o],
+            w0 = pl.multiple_of(w0_ref[t * groups + g], 128)
+            cp = pltpu.make_async_copy(
+                sup_ref.at[:, pl.ds(w0, window)],
+                buf.at[:, pl.ds(g * window, window)],
+                sem.at[g],
             )
-            cp_cells = pltpu.make_async_copy(
-                sc_ref.at[:, pl.ds(w0, window)],
-                cells_buf.at[:, pl.ds(o * window, window)],
-                sem.at[2 * o + 1],
-            )
-            cp_rows.start()
-            cp_cells.start()
-            copies.append((cp_rows, cp_cells))
-        for cp_rows, cp_cells in copies:
-            cp_rows.wait()
-            cp_cells.wait()
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
 
-        for o, (dx, dy) in enumerate(offsets):
-            sl = slice(o * window, (o + 1) * window)
-            rows = rows_buf[:, sl]              # (8, W), rows 3..7 zero
-            cells = cells_buf[:, sl]            # (8, W)
+        if groups == 9:
+            deltas = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        else:
+            deltas = [(dx, None) for dx in (-1, 0, 1)]
+
+        for g, (dx, dy) in enumerate(deltas):
+            sl = slice(g * window, (g + 1) * window)
+            rows = buf[:8, sl]                  # (8, W) coords, 3..7 zero
+            # cells ride rows 8-10 as PLAIN f32 values (exact for ints
+            # < 2^23). Bitcast int32 bit patterns would be f32 denormals,
+            # which the TPU flushes to zero in host-side relayouts —
+            # measured recall 0.0001 before this was value-encoded.
+            cells = buf[8:11, sl].astype(jnp.int32)
             # explicit difference form: the matmul expansion
             # 2q.s - |q|^2 - |s|^2 cancels catastrophically under the
             # MXU's reduced f32 precision and scrambles near-tie ranks
@@ -102,17 +145,18 @@ def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
             for c in range(3):
                 diff = qp[:, c : c + 1] - rows[c : c + 1, :]
                 d2 = d2 + diff * diff           # (T, W), >= 0
-            valid = (
-                ((cells[0:1, :] - qc[:, 0:1]) == dx)
-                & ((cells[1:2, :] - qc[:, 1:2]) == dy)
-                & (jnp.abs(cells[2:3, :] - qc[:, 2:3]) <= 1)
-            )
+            dxv = (cells[0:1, :] - qc[:, 0:1]) == dx
+            if dy is None:
+                dyv = jnp.abs(cells[1:2, :] - qc[:, 1:2]) <= 1
+            else:
+                dyv = (cells[1:2, :] - qc[:, 1:2]) == dy
+            valid = dxv & dyv & (jnp.abs(cells[2:3, :] - qc[:, 2:3]) <= 1)
             # packed key: f32 bits of d^2 are order-preserving for d^2>=0;
             # low bits carry the global column so one min-reduce yields
             # winner distance AND identity (no argmin pass)
             col = jax.lax.broadcasted_iota(
                 jnp.int32, (tile, window), 1
-            ) + (o * window)
+            ) + (g * window)
             key = jax.lax.bitwise_or(
                 jax.lax.bitwise_and(
                     jax.lax.bitcast_convert_type(d2, jnp.int32),
@@ -122,19 +166,18 @@ def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
             )
             score_ref[:, sl] = jnp.where(valid, key, INVALID)
 
-        # k-step min extraction fully in VMEM. The board is carried as a
-        # VALUE between steps: step j>0 reads the previous board once,
-        # produces the knocked-out board, and the min-reduce fuses into
-        # that same traversal — ~2 board passes per step (and 1 for step
-        # 0, which needs no knockout) vs 3 for the read/min + read/write
-        # knockout formulation. At 365k x k=16 the selection sweeps are
-        # the kernel's VPU-throughput bound, so passes ~= milliseconds
-        # (measured: 156 -> 109 ms net).
+        # k-step min extraction fully in VMEM. Packed keys are UNIQUE per
+        # row (the low bits carry the global column), so winners come out
+        # in strictly increasing key order — step j takes the smallest key
+        # strictly greater than winner j-1 from the UNMODIFIED board: one
+        # compare+select fused into the min-reduce, no knockout writes and
+        # no value-carried board copy (halves the VMEM footprint vs the
+        # knockout formulation; at tile=128, W=1024 the copy was 4.7 MB).
         mk = None
-        cur = score_ref[:]
         for j in range(k):
+            cur = score_ref[:]
             if j > 0:
-                cur = jnp.where(cur == mk[:, None], INVALID, cur)
+                cur = jnp.where(cur > mk[:, None], cur, INVALID)
             mk = jnp.min(cur, axis=1)                       # (T,) int32
             d2q = jax.lax.bitcast_convert_type(
                 jax.lax.bitwise_and(mk, jnp.int32(~col_mask)), jnp.float32
@@ -146,8 +189,8 @@ def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
             off_idx = jax.lax.shift_right_logical(am, log2w)
             within = jax.lax.bitwise_and(am, window - 1)
             base = jnp.zeros_like(am)
-            for o in range(n_offsets):
-                base = jnp.where(off_idx == o, w0_ref[t * 9 + o], base)
+            for g in range(groups):
+                base = jnp.where(off_idx == g, w0_ref[t * groups + g], base)
             out_idx_ref[:, j] = base + within
 
     return kernel
@@ -155,9 +198,9 @@ def _kernel_factory(tile: int, window: int, k: int, n_offsets: int = 9):
 
 # NOTE: the sort/cell/window-start bookkeeping below intentionally
 # re-specializes (rather than reuses) knn_window's: the kernel needs
-# transposed (8, N) coordinate layouts, 128-lane-aligned window starts,
-# and 3-column decoded cells — none of which the XLA path wants. The
-# shared policy (cells per axis) lives in knn_window._grid_resolution;
+# transposed (16, N) coordinate layouts, 128-lane-aligned window starts,
+# and cells interleaved with coords — none of which the XLA path wants.
+# The shared policy (cells per axis) lives in knn_window._grid_resolution;
 # recall equivalence of the two paths is pinned by tests/test_knn_window
 # and the TPU recall checks.
 @functools.partial(
@@ -209,61 +252,108 @@ def _knn_pallas_impl(
     qi = jnp.pad(q_ids_sorted, (0, pad_q), constant_values=r2 * r - 1)
     nt = qp.shape[0] // tile
 
-    # transposed (8, N) layout: window DMAs slice the 128-lane dim and the
-    # coord dim satisfies the sublane tiling; rows 3..7 are zeros
-    sp_pad = jnp.pad(sp_sorted, ((0, window + 128), (0, 5))).T
-    sc_pad = jnp.pad(
-        sc_sorted, ((0, window + 128), (0, 5)), constant_values=1_000_000
-    ).T
+    # merged, transposed (16, N) support: rows 0-2 coords, rows 8-10 the
+    # decoded cells as PLAIN f32 values (exact: cells < 2^23; int bit
+    # patterns bitcast to f32 would be denormals and TPU flushes those to
+    # zero in relayouts) — ONE window DMA carries both. Window DMAs slice
+    # the 128-lane dim; 16 rows satisfy sublane tiling.
+    pad_n = window + 128
+    sp_p = jnp.pad(sp_sorted, ((0, pad_n), (0, 0)))
+    sc_p = jnp.pad(
+        sc_sorted.astype(jnp.float32),
+        ((0, pad_n), (0, 0)),
+        constant_values=1_000_000.0,
+    )
+    zeros5 = jnp.zeros((ns + pad_n, 5), jnp.float32)
+    sup_pad = jnp.concatenate(
+        [sp_p, zeros5, sc_p, zeros5], axis=1
+    ).T                                                  # (16, Ns_pad)
 
     c_lo = qi.reshape(nt, tile)[:, 0]
-    offs = jnp.asarray(
-        [dx * r2 + dy * r for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
-        jnp.int32,
-    )
-    w0 = cell_start[
-        jnp.clip(c_lo[:, None] + offs[None, :] - 1, 0, r2 * r - 1)
-    ].astype(jnp.int32)                                  # (nt, 9)
-    # align starts down to the 128-lane tiling; the windows carry slack
-    w0 = w0 & ~jnp.int32(127)
+    c_hi = qi.reshape(nt, tile)[:, -1]
 
-    kernel = _kernel_factory(tile, window, k)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec(
-                (tile, 8), lambda t, w: (t, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile, 3), lambda t, w: (t, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (tile, k), lambda t, w: (t, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile, k), lambda t, w: (t, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, 9 * window), jnp.float32),
-            pltpu.VMEM((8, 9 * window), jnp.int32),
-            pltpu.VMEM((tile, 9 * window), jnp.int32),
-            pltpu.SemaphoreType.DMA((18,)),
-        ],
-    )
-    out_idx, out_negd = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nt * tile, k), jnp.int32),
-            jax.ShapeDtypeStruct((nt * tile, k), jnp.float32),
-        ],
-    )(w0.reshape(-1), qp, qc, sp_pad, sc_pad)
+    def extents(deltas):
+        """(starts, ends): per-tile support-row windows for cell-id
+        deltas [c_lo+d_lo, c_hi+d_hi]. Sorted cell ids are monotone
+        within a tile, so rows outside [cell_start[c_lo+d_lo],
+        cell_start[c_hi+d_hi+1]) fail the cell-validity check for EVERY
+        query in the tile — exact extents lose nothing."""
+        d_lo = jnp.asarray([d for d, _ in deltas], jnp.int32)
+        d_hi = jnp.asarray([d for _, d in deltas], jnp.int32)
+        w0 = cell_start[
+            jnp.clip(c_lo[:, None] + d_lo[None, :], 0, r2 * r - 1)
+        ].astype(jnp.int32)
+        w0 = w0 & ~jnp.int32(127)   # align down to the 128-lane tiling
+        end = cell_start[
+            jnp.clip(c_hi[:, None] + d_hi[None, :] + 1, 0, r2 * r)
+        ].astype(jnp.int32)
+        return w0, end
+
+    # 9-window launch: one window per (dx, dy), z-halo +-1
+    off9 = [
+        (dx * r2 + dy * r - 1, dx * r2 + dy * r + 1)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    w0_9, end_9 = extents(off9)
+    # 3-window launch: one contiguous [dy-1, dy+1] span per dx
+    off3 = [(dx * r2 - r - 1, dx * r2 + r + 1) for dx in (-1, 0, 1)]
+    w0_3, end_3 = extents(off3)
+
+    def launch(win, grps, flag, w0, cls):
+        kernel = _kernel_factory(tile, win, k, grps, flag=flag)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec(
+                    (tile, 8), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tile, 3), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (tile, k), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tile, k), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((16, grps * win), jnp.float32),
+                pltpu.VMEM((tile, grps * win), jnp.int32),
+                pltpu.SemaphoreType.DMA((grps,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nt * tile, k), jnp.int32),
+                jax.ShapeDtypeStruct((nt * tile, k), jnp.float32),
+            ],
+        )(w0.reshape(-1), cls, qp, qc, sup_pad)
+
+    small = 512
+    if window <= small or nt < 8:
+        out_idx, out_negd = launch(
+            window, 9, -1, w0_9, jnp.zeros((nt,), jnp.int32)
+        )
+    else:
+        # Density split (see module docstring): sparse tiles — the 3
+        # contiguous per-dx spans fit a small window — run the 3-DMA
+        # kernel; dense (tumor-region) tiles run the 9-window kernel at
+        # full width. Two predicated launches over the same grid; each
+        # tile's body executes in exactly one.
+        cls = (jnp.max(end_3 - w0_3, axis=1) <= small).astype(jnp.int32)
+        idx_s, negd_s = launch(small, 3, 1, w0_3, cls)
+        idx_b, negd_b = launch(window, 9, 0, w0_9, cls)
+        rows_small = jnp.repeat(cls, tile).astype(bool)[:, None]
+        out_idx = jnp.where(rows_small, idx_s, idx_b)
+        out_negd = jnp.where(rows_small, negd_s, negd_b)
 
     idx = out_idx[:nq]
     negd = out_negd[:nq]
@@ -284,11 +374,13 @@ def knn_pallas(
 ) -> jax.Array:
     """Pallas-fused cell-window KNN (TPU); XLA fallback elsewhere.
 
-    slack 4.0: windows sized for the voxel-cloud density bound. Measured
-    on-chip at 365k (all-voxel tumor + subsampled background): tie-aware
-    recall 0.9978 overall / 1.0000 in the dense tumor region, 165 ms —
-    slack 2.0 truncated dense-region windows (tumor recall 0.989, 149 ms).
-    See tests/test_tpu_kernels.py + docs/TPU_KERNEL_VALIDATION.md."""
+    slack 4.0: dense-class windows sized for the voxel-cloud density
+    bound. Measured on-chip at 365k (all-voxel tumor + subsampled
+    background): tie-aware recall 0.9978 overall / 1.0000 in the dense
+    tumor region — slack 2.0 truncated dense-region windows (tumor recall
+    0.989). Sparse tiles take the exact-extent 3-window path (no slack
+    involved). See tests/test_tpu_kernels.py +
+    docs/TPU_KERNEL_VALIDATION.md."""
     if jax.default_backend() != "tpu":
         return knn_cell_window(support, query, k, alpha=alpha, slack=slack)
     support = support.astype(jnp.float32)

@@ -50,3 +50,29 @@ def test_kernel_interpret_recall_voxel_cloud(rng, k):
     assert got.min() >= 0 and got.max() < 512
     rec = distance_recall(pts, pts, k, got)
     assert rec > 0.97, (k, rec)
+
+
+def test_kernel_interpret_density_split(rng):
+    """Dual-launch path: a mixed dense-blob + sparse-background cloud at
+    nt >= 8 and window > 512 exercises BOTH predicated kernels (the 3-DMA
+    group window for sparse tiles, the 9-window board for dense ones) and
+    the per-tile class routing (ops/knn_pallas.py::_knn_pallas_impl)."""
+    k = 8
+    dense = rng.integers(0, 4, (400, 3)).astype(np.float32) + 30.0
+    bg = rng.integers(0, 64, (880, 3)).astype(np.float32)
+    pts = np.concatenate([dense, bg], 0) / 64.0
+    rng.shuffle(pts)
+    n = len(pts)                                   # 1280 -> nt = 10
+    resolution, tile, window = _params(n, n, k)
+    assert window > 512, "cloud too small to trigger the split"
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            _knn_pallas_impl(
+                jnp.asarray(pts), jnp.asarray(pts), k, resolution, tile,
+                window,
+            )
+        )
+    assert got.shape == (n, k)
+    assert got.min() >= 0 and got.max() < n
+    rec = distance_recall(pts, pts, k, got)
+    assert rec > 0.97, rec
