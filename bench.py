@@ -446,9 +446,11 @@ def main():
 
     @jax.jit
     def forward_scatter(pyramid, feats, origin):
+        order = pyramid.order  # (1, N) — sorted-pyramid contract
+        feats = jnp.take_along_axis(feats, order[..., None], axis=1)
         logits = model.apply(variables, feats, pyramid, train=False)
         probs = jax.nn.softmax(logits[0], axis=-1)
-        return scatter_probs_to_volume(probs, origin, (155, 240, 240))
+        return scatter_probs_to_volume(probs, origin[order[0]], (155, 240, 240))
 
     def volume_step(xyz, feats, origin):
         return forward_scatter(pyramid_fn(xyz), feats, origin)

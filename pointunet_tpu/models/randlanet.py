@@ -185,15 +185,14 @@ class DilatedResBlock(nn.Module):
 def _max_pool(
     feature: jax.Array,    # (B, N, d) level-i features
     pool_idx: jax.Array,   # (B, M, K) neighbor rows of the kept points
-    xyz: jax.Array,        # (B, N, 3) level-i coords (decimation is prefix
-                           # slicing, so query coords are xyz[:, :M])
+    xyz: jax.Array,        # (B, N, 3) level-i coords
+    sub_xyz: jax.Array,    # (B, M, 3) kept (level-i+1) coords
 ) -> jax.Array:
     """(B, M, d) max over gathered neighbors; windowed-VJP gather."""
-    m = pool_idx.shape[1]
     out = [
         jnp.max(
             windowed_gather(
-                feature[b], pool_idx[b], xyz[b], xyz[b, :m]
+                feature[b], pool_idx[b], xyz[b], sub_xyz[b]
             ),
             axis=1,
         )
@@ -205,13 +204,13 @@ def _max_pool(
 def _interp(
     feature: jax.Array,     # (B, M, d) coarse-level features
     interp_idx: jax.Array,  # (B, N, 1) 1-NN rows into the coarse level
-    xyz: jax.Array,         # (B, N, 3) fine-level coords (coarse = prefix)
+    xyz: jax.Array,         # (B, N, 3) fine-level coords
+    coarse_xyz: jax.Array,  # (B, M, 3) coarse-level coords
 ) -> jax.Array:
     """(B, N, d) nearest-neighbor upsample; windowed-VJP gather."""
-    m = feature.shape[1]
     out = [
         windowed_gather(
-            feature[b], interp_idx[b].reshape(-1, 1), xyz[b, :m], xyz[b]
+            feature[b], interp_idx[b].reshape(-1, 1), coarse_xyz[b], xyz[b]
         )[:, 0]
         for b in range(feature.shape[0])
     ]
@@ -255,7 +254,10 @@ class RandLANet(nn.Module):
             )(
                 pyramid.xyz[i], feature, pyramid.neigh_idx[i], train
             )
-            f_sampled = _max_pool(f_enc, pyramid.sub_idx[i], pyramid.xyz[i])
+            f_sampled = _max_pool(
+                f_enc, pyramid.sub_idx[i], pyramid.xyz[i],
+                pyramid.xyz[i + 1],
+            )
             feature = f_sampled
             if i == 0:
                 skips.append(f_enc)
@@ -270,7 +272,8 @@ class RandLANet(nn.Module):
         # Decoder (reference RandLANet.py:136-143)
         for j in range(cfg.num_layers):
             f_interp = _interp(
-                feature, pyramid.interp_idx[-j - 1], pyramid.xyz[-j - 1]
+                feature, pyramid.interp_idx[-j - 1],
+                pyramid.xyz[-j - 2], pyramid.xyz[-j - 1],
             )
             f_cat = jnp.concatenate([skips[-j - 2], f_interp], axis=-1)
             feature = SharedMLP(

@@ -96,13 +96,19 @@ class PointUnetPipeline:
 
         @jax.jit
         def pointseg_forward(pyramid, xyz, feats):
+            # sorted-pyramid contract: model rows are cell-sorted; this
+            # parity path keeps its original-order output surface (per-
+            # point prob arrays are zipped with caller-held origins), so
+            # predictions are unsorted on the way out
+            order = pyramid.order[0]
             logits = self.pointseg_model.apply(
                 self.pointseg_variables,
-                jnp.concatenate([xyz, feats], -1)[None],
+                jnp.concatenate([xyz, feats], -1)[order][None],
                 pyramid,
                 train=False,
             )
-            return jax.nn.softmax(logits[0], axis=-1)
+            probs = jax.nn.softmax(logits[0], axis=-1)
+            return probs[jnp.argsort(order)]
 
         def pointseg_probs(xyz, feats):
             return pointseg_forward(pyramid_fn(xyz), xyz, feats)

@@ -129,14 +129,19 @@ class FusedPointUnet:
 
         @jax.jit
         def pointseg_scatter(pyramid, xyz, feats, origin):
+            # the sorted-pyramid contract (ops/pyramid.py): gather the
+            # row-aligned features/origins into cell-sorted order once;
+            # the voxel scatter is order-agnostic, so no unsort exists
+            # anywhere on this path
+            order = pyramid.order[0]
             logits = pointseg_model.apply(
                 pointseg_variables,
-                jnp.concatenate([xyz, feats], -1)[None],
+                jnp.concatenate([xyz, feats], -1)[order][None],
                 pyramid,
                 train=False,
             )
             probs = jax.nn.softmax(logits[0], axis=-1)
-            vol = scatter_probs_to_volume(probs, origin, (z, y, x))
+            vol = scatter_probs_to_volume(probs, origin[order], (z, y, x))
             labels = jnp.argmax(vol, axis=-1).astype(jnp.uint8)
             return labels                                     # (Z, Y, X)
 

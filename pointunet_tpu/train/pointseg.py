@@ -120,6 +120,13 @@ class PointSegTrainer:
         self.pyramid_fn = jax.jit(pyramid_fn)
 
         def train_core(state: TrainState, pyramid, feats, labels):
+            # align row-aligned inputs with the pyramid's cell-sorted
+            # level-0 order (ops/pyramid.py sorted-pyramid contract); the
+            # per-point loss/metrics are permutation-invariant
+            feats = jnp.take_along_axis(
+                feats, pyramid.order[..., None], axis=1
+            )
+            labels = jnp.take_along_axis(labels, pyramid.order, axis=1)
             rng, dropout_rng = jax.random.split(state.rng)
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (loss, (batch_stats, acc)), grads = grad_fn(
@@ -134,13 +141,20 @@ class PointSegTrainer:
             return new_state, {"loss": loss, "acc": acc}
 
         def eval_core(state: TrainState, pyramid, feats):
+            feats = jnp.take_along_axis(
+                feats, pyramid.order[..., None], axis=1
+            )
             logits = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 feats,
                 pyramid,
                 train=False,
             )
-            return jax.nn.softmax(logits, axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
+            # map back to the caller's row order (callers zip predictions
+            # with their own labels / voxel-origin arrays)
+            inv = jnp.argsort(pyramid.order, axis=-1)
+            return jnp.take_along_axis(probs, inv[..., None], axis=1)
 
         donate = (0,) if self.tcfg.donate_state else ()
         self._train_core = jax.jit(train_core, donate_argnums=donate)

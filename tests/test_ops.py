@@ -53,15 +53,25 @@ def test_build_pyramid_shapes(rng):
     pyr = build_pyramid(xyz, k, ratios)
     assert pyr.xyz[0].shape == (256, 3)
     assert pyr.xyz[1].shape == (64, 3)
+    assert pyr.xyz[2].shape == (32, 3)       # bottleneck coords included
     assert pyr.neigh_idx[0].shape == (256, k)
     assert pyr.sub_idx[0].shape == (64, k)
     assert pyr.interp_idx[0].shape == (256, 1)
     assert pyr.interp_idx[1].shape == (64, 1)
-    # decimation is slicing: level-1 points are the first 64 of level 0
-    np.testing.assert_allclose(np.asarray(pyr.xyz[1]), xyz[:64])
-    # pool rows equal neighbor rows of kept points
+    # sorted-pyramid contract: level 0 is the input cloud in cell order
+    order = np.asarray(pyr.order)
+    assert sorted(order.tolist()) == list(range(n))
+    np.testing.assert_allclose(np.asarray(pyr.xyz[0]), xyz[order])
+    # decimation SELECTS the first 64 of the original (shuffled) order —
+    # the same random subset as the reference's prefix slice — stored
+    # cell-sorted
+    lvl1 = np.asarray(pyr.xyz[1])
+    want = {tuple(p) for p in xyz[:64]}
+    assert {tuple(p) for p in lvl1} == want
+    # pool rows equal neighbor rows of the kept points
+    keep = np.nonzero(order < 64)[0]
     np.testing.assert_array_equal(
-        np.asarray(pyr.sub_idx[0]), np.asarray(pyr.neigh_idx[0])[:64]
+        np.asarray(pyr.sub_idx[0]), np.asarray(pyr.neigh_idx[0])[keep]
     )
 
 
