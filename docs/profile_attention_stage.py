@@ -8,6 +8,7 @@ is a locator, not an accounting identity.
 
 Run on the TPU chip:  PYTHONPATH=. python docs/profile_attention_stage.py
 """
+import statistics
 import time
 
 import jax
@@ -22,7 +23,6 @@ from pointunet_tpu.models.attention3d import (
 from pointunet_tpu.models.saliency_unet import (
     CFE3D,
     ConvNormRelu,
-    UNetBlock,
     UpsampleConv,
     _Encoder,
     init_saliency_unet,
@@ -49,12 +49,15 @@ def bench(name, fn, *args, iters=6):
         sync(out)
         times.append((time.perf_counter() - t0) * 1e3)
     print(f"{name:48s} {min(times):8.1f} ms "
-          f"(med {sorted(times)[len(times) // 2]:.1f})")
+          f"(med {statistics.median(times):.1f})")
     return min(times)
 
 
-def timed_module(name, mod, shape, key):
-    x = jax.random.normal(key, (1,) + shape, DT)
+def timed_module(name, mod, shape, key, in_dtype=DT):
+    # in_dtype=f32 for the entry stage: the real pipeline feeds float32
+    # that the first conv casts (pipeline/fused.py), so the encoder's
+    # timing must include that cast
+    x = jax.random.normal(key, (1,) + shape, in_dtype)
     v = mod.init(key, x[:, :16, :16, :16], train=False)
     f = jax.jit(lambda p, a: mod.apply(p, a, train=False))
     return bench(name, f, v, x)
@@ -73,10 +76,10 @@ def main():
     )
     bench("WHOLE SaliencyUNet (ROI padded)", whole, variables, x)
 
-    # encoder
+    # encoder — fed f32 like the real pipeline (first conv casts to bf16)
     timed_module(
         "encoder (init conv + 5 blocks + 4 downs)",
-        _Encoder(cfg), (ZP, YP, XP, 4), key,
+        _Encoder(cfg), (ZP, YP, XP, 4), key, in_dtype=jnp.float32,
     )
     # full-res pieces
     timed_module("c1 = CNR(64) @ full-res 16ch in",
@@ -97,6 +100,13 @@ def main():
     timed_module("Up(2,128) 1/8->1/4",
                  UpsampleConv(2, 128, dtype=DT),
                  (ZP // 8, YP // 8, XP // 8, 128), key)
+    class CAWrap(nn.Module):
+        @nn.compact
+        def __call__(self, a, train=False):
+            return ChannelWiseAttention3D()(a)
+
+    timed_module("CA(384) @ 1/4-res (channel attention on c345)",
+                 CAWrap(), (ZP // 4, YP // 4, XP // 4, 384), key)
     timed_module("CNR(64,1x1) @ 1/4 384ch",
                  ConvNormRelu(64, kernel=(1, 1, 1), dtype=DT),
                  (ZP // 4, YP // 4, XP // 4, 384), key)

@@ -9,6 +9,7 @@ from .gather import (
     relative_pos_encoding,
 )
 from .pyramid import Pyramid, build_pyramid, build_pyramid_batch
+from .pyramid_sharded import build_pyramid_sharded
 from .subsample import grid_subsample, grid_subsample_fixed, grid_subsample_numpy
 from .scatter import scatter_labels_to_volume, scatter_probs_to_volume
 
@@ -27,6 +28,7 @@ __all__ = [
     "Pyramid",
     "build_pyramid",
     "build_pyramid_batch",
+    "build_pyramid_sharded",
     "grid_subsample",
     "grid_subsample_fixed",
     "grid_subsample_numpy",

@@ -50,10 +50,16 @@ class PointSegTrainer:
         train_config: Optional[TrainConfig] = None,
         mesh=None,
         num_points: Optional[int] = None,
+        point_shard_min: int = 32_768,
     ):
+        """``point_shard_min``: smallest pyramid level that runs the
+        halo-exchange point-sharded KNN when ``mesh`` has a point axis > 1
+        (ops/pyramid_sharded.py); levels below it replicate the dense
+        search. Lower it only for toy-scale sharding tests."""
         self.cfg = config
         self.tcfg = train_config or TrainConfig()
         self.mesh = mesh
+        self.point_shard_min = point_shard_min
         self.num_points = num_points or config.num_points
         self.model = RandLANet(config)
         if self.tcfg.debug_nans:
@@ -112,10 +118,33 @@ class PointSegTrainer:
         # fusing it with the network makes XLA pick layouts that slow the
         # model's gathers ~10x at 365k points (measured on v5e). Both jits
         # stay device-resident and async, so the split costs nothing.
-        def pyramid_fn(xyz):
-            return build_pyramid_batch(
-                xyz, self.cfg.k_n, self.cfg.sub_sampling_ratio
-            )
+        from ..parallel.mesh import POINT_AXIS
+
+        if (
+            self.mesh is not None
+            and POINT_AXIS in self.mesh.shape
+            and self.mesh.shape[POINT_AXIS] > 1
+        ):
+            # the REAL sequence-parallel path: halo-exchange shard_map KNN
+            # at the big levels — no device materializes the full cloud's
+            # search temporaries (ops/pyramid_sharded.py)
+            from ..ops.pyramid_sharded import build_pyramid_sharded
+
+            def pyramid_fn(xyz):
+                return build_pyramid_sharded(
+                    xyz,
+                    self.cfg.k_n,
+                    self.cfg.sub_sampling_ratio,
+                    self.mesh,
+                    shard_min=self.point_shard_min,
+                )
+
+        else:
+
+            def pyramid_fn(xyz):
+                return build_pyramid_batch(
+                    xyz, self.cfg.k_n, self.cfg.sub_sampling_ratio
+                )
 
         self.pyramid_fn = jax.jit(pyramid_fn)
 
@@ -173,9 +202,16 @@ class PointSegTrainer:
     def shard_batch(self, *arrays):
         if self.mesh is None:
             return arrays
-        from ..parallel.mesh import batch_sharding
+        from ..parallel.mesh import (
+            POINT_AXIS,
+            batch_point_sharding,
+            batch_sharding,
+        )
 
-        sh = batch_sharding(self.mesh)
+        if POINT_AXIS in self.mesh.shape and self.mesh.shape[POINT_AXIS] > 1:
+            sh = batch_point_sharding(self.mesh)
+        else:
+            sh = batch_sharding(self.mesh)
         return tuple(jax.device_put(a, sh) for a in arrays)
 
     def evaluate(

@@ -22,9 +22,14 @@ if os.environ.get("POINTUNET_TPU_TESTS") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_max_isa" not in flags:
+        # pin codegen to a baseline ISA so persistent-cache entries stand a
+        # chance of loading across CPU generations (r2: entries compiled on
+        # an AMX/AVX-512 host fail the machine-feature check elsewhere and
+        # every new runner pays a full cold compile)
+        flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    os.environ["XLA_FLAGS"] = flags
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -28,7 +28,16 @@ from pointunet_tpu.train.pointseg import PointSegTrainer
 from pointunet_tpu.train.saliency import SaliencyTrainer
 
 SHAPE = (32, 32, 16)          # (X, Y, Z)
-N_POINTS = 2048
+# 8192 points, not fewer: with the reference decimation ratios
+# (4,4,4,4,2) the bottleneck level holds N/512 points. At 2048 points
+# that is FOUR points — batch-norm statistics over 4 values make the
+# train-mode (batch-stat) and eval-mode (running-stat) networks diverge
+# and the eval-mode head collapses to the rarest class (measured: point
+# accuracy 0.97 train-mode vs 0.02 eval-mode; running stats were within
+# 2-8% of batch stats, so this is NOT staleness). At 8192 points
+# (bottleneck 16) eval-mode accuracy is 0.996+. This was the r1/r2
+# failure of this test — full isolation in docs/DESIGN.md.
+N_POINTS = 8192
 
 
 def synth_volume(rng):
@@ -82,8 +91,12 @@ def test_full_pipeline_learns(rng):
         w = np.ones_like(lab, np.float32)
         return vol[:, :16], w[:, :16], lab[:, :16]
 
+    # 150 steps: enough for the mask to localize the blob (measured: at 40
+    # steps the 0.5-threshold mask over-covers the brain, diluting the
+    # point budget; by ~120-200 steps it covers exactly the ~425 tumor
+    # voxels) — the r2 failure mode, root-caused in docs/DESIGN.md
     losses = []
-    for k in range(40):
+    for k in range(150):
         v, w, l = sal_batch(k)
         sstate, m = strainer.train_step(
             sstate, jnp.asarray(v), jnp.asarray(w), jnp.asarray(l)
@@ -93,9 +106,12 @@ def test_full_pipeline_learns(rng):
 
     # ---- stage 3: train RandLA-Net on context-sampled clouds ----
     # lr 1e-3 is the reference's Pancreas rate (helper_tool.py:69); the
-    # BraTS 1e-4 needs thousands of steps to memorize even a toy task
+    # BraTS 1e-4 needs thousands of steps to memorize even a toy task.
+    # bn_momentum 0.9 (vs the reference's 0.99, helper_tf_util.py:167):
+    # at the reference's 29.5k-step scale 0.99-momentum running stats
+    # converge; at a 100-step toy run they would stay ~60% stale
     pcfg = brats_pointseg_config(
-        num_points=N_POINTS, k_n=8, learning_rate=1e-3
+        num_points=N_POINTS, k_n=8, learning_rate=1e-3, bn_momentum=0.9
     )
     ptrainer = PointSegTrainer(
         pcfg, TrainConfig(donate_state=False), num_points=N_POINTS
@@ -110,7 +126,7 @@ def test_full_pipeline_learns(rng):
         )
         clouds.append(cloud)
     plosses = []
-    for k in range(60):
+    for k in range(100):
         c = clouds[k % len(clouds)]
         feats = jnp.concatenate([c.xyz, c.features], -1)[None]
         pstate, m = ptrainer.train_step(
@@ -137,4 +153,6 @@ def test_full_pipeline_learns(rng):
         dices.append(binary_dice(labels > 0, seg > 0))
     mean_dice = float(np.mean(dices))
     # trained-on-these-volumes memorization: should segment them well
-    assert mean_dice > 0.5, dices
+    # (bar tightened from r2's 0.5 after the bottleneck-BN fix; the
+    # healthy pipeline memorizes these volumes to ~0.9+)
+    assert mean_dice > 0.7, dices
