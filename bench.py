@@ -30,32 +30,66 @@ V5E_PEAK_FLOPS = 197e12
 V5E_HBM_BYTES_S = 819e9
 
 
-def _cost_of(compiled) -> tuple[float, float]:
-    """(analytic flops, HBM bytes accessed) from XLA's cost model for a
-    compiled program; (0, 0) when the backend doesn't expose it."""
+def _cost_of(compiled) -> tuple[float, float, float]:
+    """(analytic flops, HBM bytes — cost model, HBM bytes — compulsory
+    lower bound) for a compiled program; zeros when unavailable.
+
+    XLA's "bytes accessed" counts logical operand bytes per (fused) HLO
+    op. For gather/scatter-heavy programs it over-counts badly — each
+    gather is charged the FULL table, so a 365k x 16 neighbor gather from
+    a 365k-row table books 16x the table size though HBM serves each line
+    once. The compulsory bound (args + outputs + 2x temp buffers: every
+    HBM temp is written and read at least once) is the honest floor; real
+    traffic lies in [compulsory, model]."""
+    flops = bytes_model = bytes_min = 0.0
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+        flops = float(ca.get("flops", 0.0))
+        bytes_model = float(ca.get("bytes accessed", 0.0))
     except Exception:
-        return 0.0, 0.0
+        pass
+    try:
+        ma = compiled.memory_analysis()
+        bytes_min = float(
+            ma.argument_size_in_bytes
+            + ma.output_size_in_bytes
+            + 2 * ma.temp_size_in_bytes
+        )
+    except Exception:
+        pass
+    return flops, bytes_model, bytes_min
 
 
-def _roofline(flops: float, bytes_: float, ms: float) -> dict:
-    """Achieved TFLOP/s / GB/s and fraction-of-peak for one stage."""
+def _roofline(flops: float, bytes_: float, ms: float,
+              bytes_min: float = 0.0) -> dict:
+    """Achieved TFLOP/s / GB/s and fraction-of-peak for one stage.
+
+    When the cost-model byte count implies >100% of physical HBM peak
+    (gather over-count, see _cost_of), the reported gb_s/hbm_frac switch
+    to the compulsory-traffic lower bound and the stage is flagged."""
     s = ms / 1e3
+    overcount = False
+    bytes_eff = bytes_
+    if s > 0 and bytes_min and bytes_ / s > V5E_HBM_BYTES_S:
+        overcount = True
+        bytes_eff = bytes_min
     tflops = flops / s / 1e12 if s > 0 else 0.0
-    gbs = bytes_ / s / 1e9 if s > 0 else 0.0
-    return {
+    gbs = bytes_eff / s / 1e9 if s > 0 else 0.0
+    out = {
         "ms": round(ms, 2),
         "tflop": round(flops / 1e12, 3),
-        "hbm_gb": round(bytes_ / 1e9, 3),
+        "hbm_gb": round(bytes_eff / 1e9, 3),
         "tflops_s": round(tflops, 2),
         "gb_s": round(gbs, 1),
         "mfu": round(flops / s / V5E_PEAK_FLOPS, 4) if s > 0 else 0.0,
-        "hbm_frac": round(bytes_ / s / V5E_HBM_BYTES_S, 4) if s > 0 else 0.0,
+        "hbm_frac": round(bytes_eff / s / V5E_HBM_BYTES_S, 4) if s > 0 else 0.0,
     }
+    if overcount:
+        out["hbm_gb_model"] = round(bytes_ / 1e9, 3)
+        out["hbm_model_overcount"] = True
+    return out
 
 
 def _time_stage(fn, args, repeats: int) -> float:
@@ -80,8 +114,8 @@ def _time_stage(fn, args, repeats: int) -> float:
 def _stage_roofline(fn, args, repeats: int) -> dict:
     """Time one jitted stage and attach XLA-cost roofline accounting."""
     ms = _time_stage(fn, args, repeats)
-    flops, bytes_ = _cost_of(fn.lower(*args).compile())
-    return _roofline(flops, bytes_, ms)
+    flops, bytes_, bytes_min = _cost_of(fn.lower(*args).compile())
+    return _roofline(flops, bytes_, ms, bytes_min)
 
 
 def bench_e2e(repeats: int) -> dict:
@@ -420,21 +454,21 @@ def bench_train(which: str, repeats: int) -> dict:
 
     # roofline: the step is pyramid + train_core for pointseg, one jit for
     # saliency — total XLA-model flops/bytes over the measured step time
-    flops = bytes_ = 0.0
+    flops = bytes_ = bytes_min = 0.0
     try:
         if which == "train_saliency":
-            flops, bytes_ = _cost_of(
+            flops, bytes_, bytes_min = _cost_of(
                 trainer.train_step.lower(state, *args_).compile()
             )
         else:
             pyr = trainer.pyramid_fn(args_[0])
-            f1, b1 = _cost_of(trainer.pyramid_fn.lower(args_[0]).compile())
-            f2, b2 = _cost_of(
+            f1, b1, m1 = _cost_of(trainer.pyramid_fn.lower(args_[0]).compile())
+            f2, b2, m2 = _cost_of(
                 trainer._train_core.lower(
                     state, pyr, args_[1], args_[2]
                 ).compile()
             )
-            flops, bytes_ = f1 + f2, b1 + b2
+            flops, bytes_, bytes_min = f1 + f2, b1 + b2, m1 + m2
     except Exception:
         pass
     out = {
@@ -444,7 +478,7 @@ def bench_train(which: str, repeats: int) -> dict:
         "vs_baseline": round(2000.0 / value, 3),
     }
     if flops:
-        roof = _roofline(flops, bytes_, value)
+        roof = _roofline(flops, bytes_, value, bytes_min)
         roof.pop("ms", None)
         out.update(roof)
     return out

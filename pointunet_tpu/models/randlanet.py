@@ -32,8 +32,9 @@ from flax import linen as nn
 
 from ..core.config import PointSegConfig
 from ..ops.gather import encode_neighbor_xyz
+from ..ops.knn_window import _grid_resolution
 from ..ops.pyramid import Pyramid
-from ..ops.scatter_window import windowed_gather
+from ..ops.scatter_sorted import sorted_gather
 
 # reference helper_tf_util.py:49: truncated_normal(stddev=sqrt(2/fan_out))
 _CONV_INIT = nn.initializers.variance_scaling(
@@ -107,16 +108,23 @@ class LocalFeatureAggregation(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, xyz, feature, neigh_idx, train: bool = False):
+    def __call__(
+        self, xyz, feature, neigh_idx, grid, train: bool = False
+    ):
         # xyz (B, N, 3); feature (B, N, d_in = d_out//2); neigh_idx (B, N, K)
-        # windowed_gather = jnp.take forward + the MXU windowed scatter-add
-        # backward (ops/scatter_window.py): the plain gather VJP costs
-        # ~66 ns/row on TPU (384 ms/level-0 step); the kernel is ~3.5x
-        # faster. Batch loops stay unrolled (B is 1 or tiny; vmapping the
-        # sort/windows plumbing is the slow path — see pyramid.py).
+        # sorted_gather = jnp.take forward + the exact-extents sorted
+        # scatter-add backward (ops/scatter_sorted.py): the plain gather
+        # VJP costs ~66 ns/row on TPU (384 ms/level-0 step). ``grid`` =
+        # (lo (B,3), span (B,3), r0, level) — the pyramid's level-0 search
+        # grid. Batch loops stay unrolled (B is 1 or tiny; vmapping the
+        # plan plumbing is the slow path — see pyramid.py).
+        lo, span, r0, level = grid
+
         def gather(f, i):
             return jnp.stack([
-                windowed_gather(f[b], i[b], xyz[b], xyz[b])
+                sorted_gather(
+                    f[b], i[b], xyz[b], xyz[b], lo[b], span[b], r0, level
+                )
                 for b in range(f.shape[0])
             ])
 
@@ -162,7 +170,9 @@ class DilatedResBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, xyz, feature, neigh_idx, train: bool = False):
+    def __call__(
+        self, xyz, feature, neigh_idx, grid, train: bool = False
+    ):
         f_pc = SharedMLP(
             self.d_out // 2, momentum=self.momentum, dtype=self.dtype,
             axis_name=self.axis_name,
@@ -170,7 +180,7 @@ class DilatedResBlock(nn.Module):
         f_pc = LocalFeatureAggregation(
             self.d_out, momentum=self.momentum, dtype=self.dtype,
             axis_name=self.axis_name,
-        )(xyz, f_pc, neigh_idx, train)
+        )(xyz, f_pc, neigh_idx, grid, train)
         f_pc = SharedMLP(
             2 * self.d_out, activation=False, momentum=self.momentum,
             dtype=self.dtype, axis_name=self.axis_name,
@@ -187,12 +197,15 @@ def _max_pool(
     pool_idx: jax.Array,   # (B, M, K) neighbor rows of the kept points
     xyz: jax.Array,        # (B, N, 3) level-i coords
     sub_xyz: jax.Array,    # (B, M, 3) kept (level-i+1) coords
+    grid,                  # (lo, span, r0, level) — pool searched level i
 ) -> jax.Array:
-    """(B, M, d) max over gathered neighbors; windowed-VJP gather."""
+    """(B, M, d) max over gathered neighbors; sorted-VJP gather."""
+    lo, span, r0, level = grid
     out = [
         jnp.max(
-            windowed_gather(
-                feature[b], pool_idx[b], xyz[b], sub_xyz[b]
+            sorted_gather(
+                feature[b], pool_idx[b], xyz[b], sub_xyz[b],
+                lo[b], span[b], r0, level,
             ),
             axis=1,
         )
@@ -206,11 +219,15 @@ def _interp(
     interp_idx: jax.Array,  # (B, N, 1) 1-NN rows into the coarse level
     xyz: jax.Array,         # (B, N, 3) fine-level coords
     coarse_xyz: jax.Array,  # (B, M, 3) coarse-level coords
+    grid,                   # (lo, span, r0, level) — the 1-NN up search
+                            #   ran at the SUB level's grid (pyramid.py)
 ) -> jax.Array:
-    """(B, N, d) nearest-neighbor upsample; windowed-VJP gather."""
+    """(B, N, d) nearest-neighbor upsample; sorted-VJP gather."""
+    lo, span, r0, level = grid
     out = [
-        windowed_gather(
-            feature[b], interp_idx[b].reshape(-1, 1), coarse_xyz[b], xyz[b]
+        sorted_gather(
+            feature[b], interp_idx[b].reshape(-1, 1), coarse_xyz[b],
+            xyz[b], lo[b], span[b], r0, level,
         )[:, 0]
         for b in range(feature.shape[0])
     ]
@@ -235,6 +252,19 @@ class RandLANet(nn.Module):
         ax = self.axis_name
         dt = jnp.bfloat16 if cfg.use_bfloat16 else None
 
+        # the pyramid's level-0 search grid, recomputed bit-exactly
+        # (ops/pyramid.py build_pyramid: same reduction over the same
+        # rows — min/max are permutation-invariant). The sorted-gather
+        # VJPs use it to reproduce the search's cell assignment.
+        r0 = _grid_resolution(pyramid.xyz[0].shape[1], 1.8)
+        grid_lo = jnp.min(pyramid.xyz[0], axis=1)            # (B, 3)
+        grid_span = jnp.maximum(
+            jnp.max(pyramid.xyz[0], axis=1) - grid_lo, 1e-6
+        )
+
+        def grid(level):
+            return (grid_lo, grid_span, r0, level)
+
         # fc0: tf.layers.dense + BN + leaky (reference RandLANet.py:114-116)
         feature = nn.Dense(8, kernel_init=_DENSE_INIT, dtype=dt)(features)
         feature = nn.BatchNorm(
@@ -252,11 +282,12 @@ class RandLANet(nn.Module):
             f_enc = DilatedResBlock(
                 cfg.d_out[i], momentum=cfg.bn_momentum, dtype=dt, axis_name=ax
             )(
-                pyramid.xyz[i], feature, pyramid.neigh_idx[i], train
+                pyramid.xyz[i], feature, pyramid.neigh_idx[i], grid(i),
+                train,
             )
             f_sampled = _max_pool(
                 f_enc, pyramid.sub_idx[i], pyramid.xyz[i],
-                pyramid.xyz[i + 1],
+                pyramid.xyz[i + 1], grid(i),
             )
             feature = f_sampled
             if i == 0:
@@ -271,9 +302,12 @@ class RandLANet(nn.Module):
 
         # Decoder (reference RandLANet.py:136-143)
         for j in range(cfg.num_layers):
+            # interp level i = num_layers-1-j; its up search ran at the
+            # SUB level's grid (i + 1) — ops/pyramid.py:159-165
             f_interp = _interp(
                 feature, pyramid.interp_idx[-j - 1],
                 pyramid.xyz[-j - 2], pyramid.xyz[-j - 1],
+                grid(cfg.num_layers - j),
             )
             f_cat = jnp.concatenate([skips[-j - 2], f_interp], axis=-1)
             feature = SharedMLP(

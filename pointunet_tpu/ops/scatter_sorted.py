@@ -1,0 +1,365 @@
+"""Sorted-contract gather VJP: exact-extents chunked scatter-add on the MXU.
+
+``jnp.take(table, idx)``'s VJP is a scatter-add, which XLA:TPU executes at
+a fixed ~66 ns/row regardless of index order — 384 ms for one RandLA
+level-0 gather gradient (5.8M rows), the dominant cost of the training
+step. The r2 windowed kernel (ops/scatter_window.py) attacked this with
+MXU one-hot matmuls but sized its reverse windows from MEAN density with a
+global slack factor; the slack an exact gradient requires (6.0) made it
+break-even, and the fixed-width VMEM scratch blew the 16 MB limit at wide
+channels. This module is the r3 redesign that removes both defects by
+exploiting the SORTED-PYRAMID CONTRACT (ops/pyramid.py) end to end:
+
+* support rows arrive cell-sorted, so the 128 rows of an output tile are
+  CONSECUTIVE integers — the one-hot compares window indices against a
+  plain iota (no original-id DMA) and the gradient needs no unsort;
+* per-tile reverse windows are EXACT: tile t covers support cells
+  [c_lo, c_hi]; offset (dx, dy) contributions come only from queries in
+  cells [c_lo - off - 1, c_hi - off + 1] (off = dx*r^2 + dy*r, z rides the
+  +-1 halo), whose sorted-row range falls out of the query cell prefix
+  sums. The forward search produced idx from exactly these windows
+  (ops/knn_pallas.py extents), so coverage is exact by construction — no
+  slack, no truncation;
+* window LENGTHS are data-dependent (a background tile x-adjacent to the
+  all-voxel tumor can see a huge shifted window), so each window runs a
+  fori_loop over fixed-size lane chunks with a RUNTIME trip count and
+  double-buffered DMA — dense tiles get exactly the chunks they need, and
+  the static VMEM footprint is 2 x (c_pad, CHUNK) regardless of density;
+* overlapping windows (clipped starts, big spans) are deduplicated with
+  the r2 kernel's ascending-start coverage thresholds, computed over the
+  chunk-padded effective ranges so every flat (q, k) row is counted
+  exactly once per tile.
+
+The custom-VJP front end (``sorted_gather``) recomputes the pyramid's cell
+assignment from the level-0 grid origin/extent (carried by the caller) —
+the same clip/floor/shift formula over the same values, so the containment
+argument ("every referenced support row lies in the query's 27-cell
+neighborhood AT THE SEARCH GRID") holds bit-exactly. Callers whose indices
+did NOT come from the windowed search (brute-force levels, exact=True
+pyramids) stay on the exact XLA scatter via the size gate.
+
+Reference parity note: the reference never differentiates through its
+KNN gathers on an accelerator at this scale — tf.batch_gather's gradient
+(a scatter) ran once per step on V100 CUDA, where scatter-add is fast
+(reference PointSegment/RandLANet.py:377-386). This kernel is what makes
+the same training step TPU-viable.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .knn_window import _grid_resolution, _round_up
+
+S_TILE = 128        # support rows per output tile
+CHUNK = 2048        # flat (q, k) lanes per DMA chunk (128-multiple)
+# below this many flat rows the XLA scatter wins (launch + plan overheads)
+MIN_ROWS = 262_144
+# levels at or below this support size were searched brute-force
+# (ops/pyramid.py GRID_THRESHOLD) — their indices are NOT window-confined
+GRID_THRESHOLD = 16_384
+
+N_WIN = 9
+
+
+def _kernel_factory(c_pad: int, chunk: int):
+    """One support tile per grid step: loop the tile's chunk sequence with
+    double-buffered DMA, accumulate grad^T (c_pad, S_TILE) on the MXU."""
+
+    def kernel(
+        w0_ref,      # (nt*9,)  int32 window start lanes (scalar prefetch)
+        thr_ref,     # (nt*9,)  int32 dedup thresholds, window-relative
+        cum_ref,     # (nt*10,) int32 exclusive chunk-count prefix per tile
+        packed_ref,  # (c_pad, NqK_pad) f32 HBM: ct^T rows + f32 idx row
+        out_ref,     # (c_pad, S_TILE) f32 (VMEM block)
+        buf,         # (2, c_pad, chunk) f32 double buffer
+        sem,         # (2,) DMA semaphores
+    ):
+        t = pl.program_id(0)
+        base = t * (N_WIN + 1)
+        nch = cum_ref[base + N_WIN]
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        def meta(j):
+            """chunk j -> (source lane start, window-relative threshold)."""
+            g = jnp.zeros((), jnp.int32)
+            for gg in range(1, N_WIN):
+                g += (j >= cum_ref[base + gg]).astype(jnp.int32)
+            w0 = jnp.zeros((), jnp.int32)
+            cum_g = jnp.zeros((), jnp.int32)
+            thr = jnp.zeros((), jnp.int32)
+            for gg in range(N_WIN):
+                sel = g == gg
+                w0 = jnp.where(sel, w0_ref[t * N_WIN + gg], w0)
+                cum_g = jnp.where(sel, cum_ref[base + gg], cum_g)
+                thr = jnp.where(sel, thr_ref[t * N_WIN + gg], thr)
+            cj = j - cum_g
+            return w0 + cj * chunk, thr - cj * chunk
+
+        def issue(j, slot):
+            src, _ = meta(j)
+            pltpu.make_async_copy(
+                packed_ref.at[:, pl.ds(pl.multiple_of(src, 128), chunk)],
+                buf.at[slot],
+                sem.at[slot],
+            ).start()
+
+        # tile rows are CONSECUTIVE sorted-support ids (sorted contract):
+        # the one-hot target ids are an iota — ids < 2^24 are exact in f32
+        rows_f = jax.lax.broadcasted_iota(
+            jnp.float32, (S_TILE, 1), 0
+        ) + (t * S_TILE).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+        @pl.when(nch > 0)
+        def _():
+            issue(0, 0)
+
+            def body(j, carry):
+                slot = jax.lax.rem(j, 2)
+                src, thr = meta(j)
+                pltpu.make_async_copy(
+                    packed_ref.at[:, pl.ds(pl.multiple_of(src, 128), chunk)],
+                    buf.at[slot],
+                    sem.at[slot],
+                ).wait()
+
+                @pl.when(j + 1 < nch)
+                def _():
+                    issue(j + 1, jax.lax.rem(j + 1, 2))
+
+                b = buf[slot]                          # (c_pad, chunk)
+                # indices ride as exact f32 VALUES (< 2^24); lanes a
+                # previous window of this tile already covered are
+                # invalidated (threshold dedup) so each flat row is
+                # counted at most once per tile
+                idxw = b[c_pad - 8 : c_pad - 7, :]     # (1, chunk)
+                idxw = jnp.where(lane >= thr, idxw, -3.0)
+                onehot = (rows_f == idxw).astype(jnp.float32)  # (S, chunk)
+                # HIGHEST: the MXU default truncates inputs to bf16; the
+                # 3-pass f32 emulation keeps the gradient within ~1e-6 of
+                # the exact scatter (same finding as the r2 kernel)
+                out_ref[:] += jax.lax.dot_general(
+                    b,
+                    onehot,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return carry
+
+            jax.lax.fori_loop(0, nch, body, 0)
+
+    return kernel
+
+
+def _plan(s_ids, q_cell_start, nt: int, r: int, k: int, chunk: int):
+    """Per-tile window starts / chunk counts / dedup thresholds.
+
+    Returns (w0 (nt,9) lane starts aligned down to 128, nc (nt,9) chunk
+    counts, thr (nt,9) window-relative covered-lane thresholds). Offsets
+    are walked in DESCENDING off order so starts ascend and the coverage
+    sweep is a fixed unrolled pass.
+    """
+    ns = s_ids.shape[0]
+    v = r * r * r
+    pad_s = (-ns) % S_TILE
+    # pad with the LAST real cell id so the final tile's window stays tight
+    s_pad = jnp.concatenate(
+        [s_ids, jnp.broadcast_to(s_ids[-1:], (pad_s,))]
+    ).reshape(nt, S_TILE)
+    c_lo = s_pad[:, 0]
+    c_hi = s_pad[:, -1]
+
+    r2 = r * r
+    offs = sorted(
+        (dx * r2 + dy * r for dx in (-1, 0, 1) for dy in (-1, 0, 1)),
+        reverse=True,
+    )
+    offs = jnp.asarray(offs, jnp.int32)                    # descending
+
+    row0 = q_cell_start[
+        jnp.clip(c_lo[:, None] - offs[None, :] - 1, 0, v)
+    ].astype(jnp.int32)
+    row1 = q_cell_start[
+        jnp.clip(c_hi[:, None] - offs[None, :] + 2, 0, v)
+    ].astype(jnp.int32)
+    w0 = (row0 * k) & ~jnp.int32(127)
+    end = row1 * k
+    nc = jnp.maximum(end - w0 + chunk - 1, 0) // chunk     # (nt, 9)
+
+    # coverage thresholds over the chunk-padded EFFECTIVE ranges
+    thr_cols = []
+    covered = jnp.zeros((nt,), jnp.int32)
+    for g in range(N_WIN):
+        s = w0[:, g]
+        eff_end = s + nc[:, g] * chunk
+        thr_cols.append(jnp.clip(covered - s, 0, nc[:, g] * chunk))
+        covered = jnp.maximum(
+            covered, jnp.where(nc[:, g] > 0, eff_end, covered)
+        )
+    thr = jnp.stack(thr_cols, axis=1)
+    return w0, nc, thr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ns", "k", "r", "chunk", "c_pad")
+)
+def _scatter_sorted_impl(
+    ct_flat: jax.Array,   # (Nq*K, C) f32 cotangent rows, sorted-q order
+    idx_flat: jax.Array,  # (Nq*K,) int32 sorted-support row ids
+    s_ids: jax.Array,     # (Ns,) int32 sorted support cell ids
+    q_ids: jax.Array,     # (Nq,) int32 sorted query cell ids
+    ns: int,
+    k: int,
+    r: int,
+    chunk: int,
+    c_pad: int,
+):
+    nqk, c = ct_flat.shape
+    v = r * r * r
+    counts = jnp.zeros((v + 1,), jnp.int32).at[q_ids + 1].add(1)
+    q_cell_start = jnp.cumsum(counts)
+
+    nt = (ns + S_TILE - 1) // S_TILE
+    w0, nc, thr = _plan(s_ids, q_cell_start, nt, r, k, chunk)
+    cum = jnp.concatenate(
+        [jnp.zeros((nt, 1), jnp.int32), jnp.cumsum(nc, axis=1)], axis=1
+    )                                                      # (nt, 10)
+
+    # packed (c_pad, NqK_pad): rows 0..c-1 = ct^T, row c_pad-8 = idx as
+    # exact f32 values (pad -1: matches nothing)
+    pad_flat = (-nqk) % 128 + chunk + 256
+    ctT = jnp.pad(ct_flat, ((0, pad_flat), (0, 0))).T      # (c, NqK_pad)
+    idx_row = jnp.pad(
+        idx_flat, (0, pad_flat), constant_values=-1
+    ).astype(jnp.float32)[None]
+    packed = jnp.concatenate(
+        [
+            ctT,
+            jnp.zeros((c_pad - 8 - c, ctT.shape[1]), jnp.float32),
+            idx_row,
+            jnp.zeros((7, ctT.shape[1]), jnp.float32),
+        ],
+        axis=0,
+    )
+
+    kernel = _kernel_factory(c_pad, chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (c_pad, S_TILE), lambda t, *_: (0, t), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, c_pad, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    gradT = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c_pad, nt * S_TILE), jnp.float32),
+    )(w0.reshape(-1), thr.reshape(-1), cum.reshape(-1), packed)
+    return gradT[:c, :ns].T                                # (Ns, C)
+
+
+def _cells_at_level(xyz, lo, span, r0: int, level: int):
+    """The pyramid's cell assignment, recomputed bit-exactly: level-0 grid
+    cells shifted to the level's resolution (ops/pyramid.py shifted())."""
+    c3 = jnp.clip(
+        jnp.floor((xyz - lo) / span * r0).astype(jnp.int32), 0, r0 - 1
+    ) >> level
+    r = ((r0 - 1) >> level) + 1
+    return (c3[:, 0] * r + c3[:, 1]) * r + c3[:, 2], r
+
+
+def scatter_add_sorted(
+    ct: jax.Array,           # (Nq, K, C) cotangents, sorted-query order
+    idx: jax.Array,          # (Nq, K) int32 sorted-support rows
+    support_xyz: jax.Array,  # (Ns, 3) cell-sorted
+    query_xyz: jax.Array,    # (Nq, 3) cell-sorted
+    lo: jax.Array,           # (3,) level-0 grid origin
+    span: jax.Array,         # (3,) level-0 grid extent
+    r0: int,
+    level: int,
+    n_support: int,
+) -> jax.Array:
+    """sum-scatter ct rows into (Ns, C) — the VJP of a rows-gather whose
+    indices came from the level's windowed search."""
+    nq, k, c = ct.shape
+    s_ids, r = _cells_at_level(
+        support_xyz.astype(jnp.float32), lo, span, r0, level
+    )
+    q_ids, _ = _cells_at_level(
+        query_xyz.astype(jnp.float32), lo, span, r0, level
+    )
+    c_pad = _round_up(c, 8) + 8
+    return _scatter_sorted_impl(
+        ct.reshape(nq * k, c).astype(jnp.float32),
+        idx.reshape(nq * k).astype(jnp.int32),
+        s_ids,
+        q_ids,
+        n_support,
+        k,
+        r,
+        CHUNK,
+        c_pad,
+    )
+
+
+# ------------------------------------------------------------------ #
+# custom-VJP gather front end
+# ------------------------------------------------------------------ #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def sorted_gather(table, idx, support_xyz, query_xyz, lo, span, r0, level):
+    """rows-gather ``table[idx]`` whose backward runs the exact-extents
+    sorted scatter kernel on TPU. (N, C), (M, K) -> (M, K, C).
+
+    ``lo``/``span``/``r0``/``level`` describe the level-0 grid the pyramid
+    searched on (r0/level static); table/idx/xyz follow the sorted-pyramid
+    contract. Only valid for indices produced by the windowed search —
+    the size gate (ns > GRID_THRESHOLD) matches ops/pyramid.py's routing.
+    """
+    return jnp.take(table, idx, axis=0)
+
+
+def _fwd(table, idx, support_xyz, query_xyz, lo, span, r0, level):
+    return (
+        jnp.take(table, idx, axis=0),
+        (idx, support_xyz, query_xyz, lo, span, table.shape[0]),
+    )
+
+
+def _bwd(r0, level, res, ct):
+    idx, support_xyz, query_xyz, lo, span, n_support = res
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and idx.size >= MIN_ROWS
+        and n_support > GRID_THRESHOLD
+        and ct.ndim == 3
+        and os.environ.get("POINTUNET_SORTED_SCATTER", "1") == "1"
+    )
+    if use_kernel:
+        grad = scatter_add_sorted(
+            ct, idx, support_xyz, query_xyz, lo, span, r0, level, n_support
+        ).astype(ct.dtype)
+    else:
+        c = ct.shape[-1]
+        grad = (
+            jnp.zeros((n_support, c), ct.dtype)
+            .at[idx.reshape(-1)]
+            .add(ct.reshape(-1, c))
+        )
+    return grad, None, None, None, None, None
+
+
+sorted_gather.defvjp(_fwd, _bwd)

@@ -122,6 +122,56 @@ def test_windowed_scatter_add_grad_level0_scale():
     assert err < 1e-5, f"windowed scatter-add max rel err {err:.2e}"
 
 
+def test_sorted_scatter_add_grad_level0_scale():
+    """r3 exact-extents sorted scatter (ops/scatter_sorted.py) vs the
+    exact ``.at[].add`` gradient, at level-0 AND pool scale on the real
+    sorted-pyramid contract (same cloud, same search indices)."""
+    from pointunet_tpu.core.config import brats_pointseg_config
+    from pointunet_tpu.ops.knn_window import _grid_resolution
+    from pointunet_tpu.ops.pyramid import build_pyramid
+    from pointunet_tpu.ops.scatter_sorted import scatter_add_sorted
+
+    cfg = brats_pointseg_config()
+    xyz, _ = _voxel_cloud(N_REF, seed=2)
+    pyr = jax.jit(
+        lambda p: build_pyramid(p, cfg.k_n, cfg.sub_sampling_ratio)
+    )(xyz)
+    r0 = _grid_resolution(N_REF, 1.8)
+    lo = jnp.min(pyr.xyz[0], axis=0)
+    span = jnp.maximum(jnp.max(pyr.xyz[0], axis=0) - lo, 1e-6)
+
+    def case(level, sup_xyz, q_xyz, idx, c, seed):
+        ns, (nq, k) = sup_xyz.shape[0], idx.shape
+        ct = jax.random.normal(
+            jax.random.PRNGKey(seed), (nq, k, c), jnp.float32
+        )
+
+        @jax.jit
+        def max_rel_err(ct, idx, sup_xyz, q_xyz, lo, span):
+            got = scatter_add_sorted(
+                ct, idx, sup_xyz, q_xyz, lo, span, r0, level, ns
+            )
+            want = (
+                jnp.zeros((ns, c), jnp.float32)
+                .at[idx.reshape(-1)]
+                .add(ct.reshape(-1, c))
+            )
+            denom = jnp.maximum(jnp.abs(want).max(), 1e-6)
+            return jnp.abs(got - want).max() / denom
+
+        return float(max_rel_err(ct, idx, sup_xyz, q_xyz, lo, span))
+
+    # level-0 self gather (5.8M rows), level-1 self, level-0 pool
+    e0 = case(0, pyr.xyz[0], pyr.xyz[0], pyr.neigh_idx[0], 8, 0)
+    e1 = case(1, pyr.xyz[1], pyr.xyz[1], pyr.neigh_idx[1], 16, 1)
+    ep = case(0, pyr.xyz[0], pyr.xyz[1], pyr.sub_idx[0], 32, 2)
+    print(f"\nsorted scatter-add max rel err: "
+          f"L0={e0:.2e} L1={e1:.2e} pool={ep:.2e}")
+    assert e0 < 1e-5, f"L0 sorted scatter max rel err {e0:.2e}"
+    assert e1 < 1e-5, f"L1 sorted scatter max rel err {e1:.2e}"
+    assert ep < 1e-5, f"pool sorted scatter max rel err {ep:.2e}"
+
+
 def test_inference_path_bitwise_stable():
     """Same inputs -> bitwise-identical logits across two dispatches of the
     fused pyramid+forward path (determinism of the kernels)."""
