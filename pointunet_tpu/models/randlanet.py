@@ -199,13 +199,15 @@ def _max_pool(
     sub_xyz: jax.Array,    # (B, M, 3) kept (level-i+1) coords
     grid,                  # (lo, span, r0, level) — pool searched level i
 ) -> jax.Array:
-    """(B, M, d) max over gathered neighbors; sorted-VJP gather."""
+    """(B, M, d) max over gathered neighbors; sorted-VJP gather. The
+    query rows (the kept points) are stored in the NEXT level's order —
+    query_sorted=False re-sorts them inside the VJP."""
     lo, span, r0, level = grid
     out = [
         jnp.max(
             sorted_gather(
                 feature[b], pool_idx[b], xyz[b], sub_xyz[b],
-                lo[b], span[b], r0, level,
+                lo[b], span[b], r0, level, False,
             ),
             axis=1,
         )
@@ -217,21 +219,16 @@ def _max_pool(
 def _interp(
     feature: jax.Array,     # (B, M, d) coarse-level features
     interp_idx: jax.Array,  # (B, N, 1) 1-NN rows into the coarse level
-    xyz: jax.Array,         # (B, N, 3) fine-level coords
-    coarse_xyz: jax.Array,  # (B, M, 3) coarse-level coords
-    grid,                   # (lo, span, r0, level) — the 1-NN up search
-                            #   ran at the SUB level's grid (pyramid.py)
 ) -> jax.Array:
-    """(B, N, d) nearest-neighbor upsample; sorted-VJP gather."""
-    lo, span, r0, level = grid
-    out = [
-        sorted_gather(
-            feature[b], interp_idx[b].reshape(-1, 1), coarse_xyz[b],
-            xyz[b], lo[b], span[b], r0, level,
-        )[:, 0]
-        for b in range(feature.shape[0])
-    ]
-    return jnp.stack(out)
+    """(B, N, d) nearest-neighbor upsample — plain gather. Its VJP stays
+    the exact XLA scatter: K=1 keeps it under ~N rows (24 ms at 365k,
+    vs 385 ms for the K=16 gathers the kernel replaces), and the coarse
+    support is NOT cell-sorted at the up search's parent grid, so the
+    consecutive-rows tile trick does not apply."""
+    idx = interp_idx[..., 0]                       # (B, N)
+    return jnp.take_along_axis(
+        feature, idx[..., None], axis=1
+    )
 
 
 class RandLANet(nn.Module):
@@ -302,13 +299,7 @@ class RandLANet(nn.Module):
 
         # Decoder (reference RandLANet.py:136-143)
         for j in range(cfg.num_layers):
-            # interp level i = num_layers-1-j; its up search ran at the
-            # SUB level's grid (i + 1) — ops/pyramid.py:159-165
-            f_interp = _interp(
-                feature, pyramid.interp_idx[-j - 1],
-                pyramid.xyz[-j - 2], pyramid.xyz[-j - 1],
-                grid(cfg.num_layers - j),
-            )
+            f_interp = _interp(feature, pyramid.interp_idx[-j - 1])
             f_cat = jnp.concatenate([skips[-j - 2], f_interp], axis=-1)
             feature = SharedMLP(
                 skips[-j - 2].shape[-1], momentum=cfg.bn_momentum, dtype=dt,

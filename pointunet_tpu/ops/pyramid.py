@@ -14,18 +14,26 @@ Per level i (num_layers levels):
 
 All shapes derive from (num_points, ratios) and are static.
 
-SORTED-PYRAMID CONTRACT (TPU-first redesign, r2): every level is stored in
-cell-id order of a FIXED level-0 grid whose resolution halves per level
-(cells_l = cells_0 >> l — lexicographic order at the fine grid is sorted at
-every coarser grid too). One argsort at entry serves all levels; the
-windowed KNN runs its Pallas core directly on the sorted arrays with
-neither per-level argsorts nor the sorted->original epilogue (a
-~100 ms/volume saving at the BraTS scale, measured v5e). The permutation
-is returned as ``Pyramid.order`` (sorted row -> original row):
-row-aligned per-point arrays (features, labels, voxel origins) must be
-gathered with it — ``arr[pyramid.order]`` — before being zipped with
-pyramid indices. Decimation picks the same random subset as before
-(original rows < N_{l+1}); only the STORAGE order changed.
+SORTED-PYRAMID CONTRACT (TPU-first redesign, r2; ordering corrected r3):
+every level is stored in raster-cell-id order of ITS OWN grid (the level-0
+resolution halved per level). The r2 design assumed one level-0 sort
+serves all levels ("lexicographic order at the fine grid is sorted at
+every coarser grid too") — that holds for Morton codes but NOT for raster
+ids: (cx=0, cy=39) < (cx=1, cy=0) at the fine grid maps to (0, 19) > (0, 0)
+at the half grid. Measured on a 65k uniform cloud the compacted level-1
+ids had 264 order inversions — which silently shrank the Pallas search
+windows at levels >= 1 (tile extents read the first/last id of each tile)
+and would have dropped gradient in the sorted scatter kernel
+(ops/scatter_sorted.py, whose on-chip exactness test exposed this). The
+corrected build re-sorts each decimated level by its next grid's ids
+(levels are 4-16x smaller than level 0, so the extra argsorts are cheap),
+and the 1-NN up search runs at the PARENT level's grid, where both sides
+are naturally sorted. The permutation is returned as ``Pyramid.order``
+(sorted row -> original row): row-aligned per-point arrays (features,
+labels, voxel origins) must be gathered with it — ``arr[pyramid.order]``
+— before being zipped with pyramid indices. Decimation picks the same
+random subset as before (original rows < N_{l+1}); only the STORAGE order
+changed.
 """
 from __future__ import annotations
 
@@ -143,29 +151,38 @@ def build_pyramid(
                 cur_x, cc, ids, cur_x, cc, ids, k, rs[i]
             )
         # decimation: the kept subset is "original row < n_sub" — the same
-        # random prefix as the reference; compaction of a sorted array
-        # stays sorted, so no re-sort is needed
+        # random prefix as the reference; compaction keeps THIS level's
+        # sort order (the re-sort to the next grid happens below)
         idx_rel = jnp.nonzero(cur_ord < n_sub, size=n_sub, fill_value=0)[0]
         sub_x = cur_x[idx_rel]
         sub_c3 = cur_c3[idx_rel]
         xyzs.append(cur_x)
         neighs.append(neigh)
-        subs.append(neigh[idx_rel])
+        sub_neigh = neigh[idx_rel]
         if exact or ns_i <= GRID_THRESHOLD:
-            ups.append(knn(sub_x, cur_x, 1))
+            up = knn(sub_x, cur_x, 1)
         else:
-            # cross-level search at the SUB level's grid (both sides stay
-            # sorted there: coarser grids inherit the fine-grid order)
-            scc, sids = shifted(sub_c3, i + 1)
-            qcc, qids = shifted(cur_c3, i + 1)
-            ups.append(
-                _search_sorted(
-                    sub_x, scc, sids, cur_x, qcc, qids, 1, rs[i + 1]
-                )
+            # cross-level 1-NN at the PARENT level's grid: the compacted
+            # sub cloud and the queries are both sorted there (raster ids
+            # are NOT monotone under coarsening — see module docstring)
+            scc, sids = shifted(sub_c3, i)
+            qcc, qids = shifted(cur_c3, i)
+            up = _search_sorted(
+                sub_x, scc, sids, cur_x, qcc, qids, 1, rs[i]
             )
-        cur_x = sub_x
-        cur_c3 = sub_c3
-        cur_ord = cur_ord[idx_rel]
+        # re-sort the decimated level by its OWN grid's ids so the next
+        # level's search (and the gather-VJP reverse windows) see sorted
+        # cells; up values are remapped into the re-sorted row space
+        _, sids_next = shifted(sub_c3, i + 1)
+        s_sort = jnp.argsort(sids_next, stable=True).astype(jnp.int32)
+        inv = jnp.zeros((n_sub,), jnp.int32).at[s_sort].set(
+            jnp.arange(n_sub, dtype=jnp.int32)
+        )
+        subs.append(sub_neigh[s_sort])
+        ups.append(inv[up])
+        cur_x = sub_x[s_sort]
+        cur_c3 = sub_c3[s_sort]
+        cur_ord = cur_ord[idx_rel][s_sort]
     # bottleneck coords: levels are no longer prefixes of each other, so
     # the model can't slice them out of the parent level
     xyzs.append(cur_x)

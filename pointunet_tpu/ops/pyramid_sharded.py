@@ -202,8 +202,8 @@ def build_pyramid_sharded(
                 )
             )(cur_x, cc, ids)
 
-        # prefix-rule decimation (original row < n_sub); compaction of a
-        # sorted array stays sorted, exactly as in build_pyramid
+        # prefix-rule decimation (original row < n_sub); compaction keeps
+        # THIS level's sort order, exactly as in build_pyramid
         idx_rel = jax.vmap(
             lambda m: jnp.nonzero(m, size=n_sub, fill_value=0)[0]
         )(cur_ord < n_sub)
@@ -211,27 +211,42 @@ def build_pyramid_sharded(
         sub_c3 = jnp.take_along_axis(cur_c3, idx_rel[..., None], axis=1)
         xyzs.append(cur_x)
         neighs.append(neigh)
-        subs.append(jnp.take_along_axis(neigh, idx_rel[..., None], axis=1))
+        sub_neigh = jnp.take_along_axis(neigh, idx_rel[..., None], axis=1)
 
         if lvl_sharded:
-            ups.append(
-                _up_sharded(cur_x, sub_x, mesh, data_axis, point_axis)
-            )
+            up = _up_sharded(cur_x, sub_x, mesh, data_axis, point_axis)
         elif ns_i <= GRID_THRESHOLD:
-            ups.append(jax.vmap(lambda s, q: knn(s, q, 1))(sub_x, cur_x))
+            up = jax.vmap(lambda s, q: knn(s, q, 1))(sub_x, cur_x)
         else:
-            scc, sids = shifted(sub_c3, i + 1)
-            qcc, qids = shifted(cur_c3, i + 1)
-            ups.append(
-                jax.vmap(
-                    lambda sp, sc, si, qp, qc, qi: _search_sorted(
-                        sp, sc, si, qp, qc, qi, 1, rs[i + 1]
-                    )
-                )(sub_x, scc, sids, cur_x, qcc, qids)
+            # cross-level 1-NN at the PARENT grid — both sides sorted
+            # there (raster ids are not monotone under coarsening; see
+            # ops/pyramid.py module docstring, r3 correction)
+            scc, sids = shifted(sub_c3, i)
+            qcc, qids = shifted(cur_c3, i)
+            up = jax.vmap(
+                lambda sp, sc, si, qp, qc, qi: _search_sorted(
+                    sp, sc, si, qp, qc, qi, 1, rs[i]
+                )
+            )(sub_x, scc, sids, cur_x, qcc, qids)
+
+        # re-sort the decimated level by its OWN grid's ids (bit-compatible
+        # with build_pyramid's r3 ordering) and remap up values
+        _, sids_next = shifted(sub_c3, i + 1)
+        s_sort = jnp.argsort(sids_next, axis=-1, stable=True).astype(
+            jnp.int32
+        )
+        inv = jax.vmap(
+            lambda s: jnp.zeros((n_sub,), jnp.int32).at[s].set(
+                jnp.arange(n_sub, dtype=jnp.int32)
             )
-        cur_x = sub_x
-        cur_c3 = sub_c3
-        cur_ord = jnp.take_along_axis(cur_ord, idx_rel, axis=1)
+        )(s_sort)
+        subs.append(jnp.take_along_axis(sub_neigh, s_sort[..., None], axis=1))
+        ups.append(jnp.take_along_axis(inv, up[..., 0], axis=1)[..., None])
+        cur_x = jnp.take_along_axis(sub_x, s_sort[..., None], axis=1)
+        cur_c3 = jnp.take_along_axis(sub_c3, s_sort[..., None], axis=1)
+        cur_ord = jnp.take_along_axis(
+            jnp.take_along_axis(cur_ord, idx_rel, axis=1), s_sort, axis=1
+        )
 
     xyzs.append(cur_x)
     return Pyramid(tuple(xyzs), tuple(neighs), tuple(subs), tuple(ups), order)

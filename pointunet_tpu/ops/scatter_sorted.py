@@ -111,9 +111,9 @@ def _kernel_factory(c_pad: int, chunk: int):
 
         # tile rows are CONSECUTIVE sorted-support ids (sorted contract):
         # the one-hot target ids are an iota — ids < 2^24 are exact in f32
-        rows_f = jax.lax.broadcasted_iota(
-            jnp.float32, (S_TILE, 1), 0
-        ) + (t * S_TILE).astype(jnp.float32)
+        rows_f = (
+            jax.lax.broadcasted_iota(jnp.int32, (S_TILE, 1), 0) + t * S_TILE
+        ).astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
         @pl.when(nch > 0)
@@ -281,18 +281,25 @@ def _cells_at_level(xyz, lo, span, r0: int, level: int):
 
 
 def scatter_add_sorted(
-    ct: jax.Array,           # (Nq, K, C) cotangents, sorted-query order
+    ct: jax.Array,           # (Nq, K, C) cotangents
     idx: jax.Array,          # (Nq, K) int32 sorted-support rows
-    support_xyz: jax.Array,  # (Ns, 3) cell-sorted
-    query_xyz: jax.Array,    # (Nq, 3) cell-sorted
+    support_xyz: jax.Array,  # (Ns, 3) cell-sorted AT THE SEARCH GRID
+    query_xyz: jax.Array,    # (Nq, 3)
     lo: jax.Array,           # (3,) level-0 grid origin
     span: jax.Array,         # (3,) level-0 grid extent
     r0: int,
     level: int,
     n_support: int,
+    query_sorted: bool = True,
 ) -> jax.Array:
     """sum-scatter ct rows into (Ns, C) — the VJP of a rows-gather whose
-    indices came from the level's windowed search."""
+    indices came from the level's windowed search.
+
+    ``query_sorted=False``: the query rows are NOT cell-sorted at the
+    search grid (the pool gather: its queries live in the NEXT level's
+    order). The scatter result is invariant to query order, so the rows
+    are re-sorted here before planning — one argsort + row gather, far
+    cheaper than the XLA scatter it replaces."""
     nq, k, c = ct.shape
     s_ids, r = _cells_at_level(
         support_xyz.astype(jnp.float32), lo, span, r0, level
@@ -300,10 +307,17 @@ def scatter_add_sorted(
     q_ids, _ = _cells_at_level(
         query_xyz.astype(jnp.float32), lo, span, r0, level
     )
+    ct_flat = ct.reshape(nq, k * c).astype(jnp.float32)
+    idx_q = idx.astype(jnp.int32)
+    if not query_sorted:
+        qs = jnp.argsort(q_ids, stable=True)
+        q_ids = q_ids[qs]
+        ct_flat = ct_flat[qs]
+        idx_q = idx_q[qs]
     c_pad = _round_up(c, 8) + 8
     return _scatter_sorted_impl(
-        ct.reshape(nq * k, c).astype(jnp.float32),
-        idx.reshape(nq * k).astype(jnp.int32),
+        ct_flat.reshape(nq * k, c),
+        idx_q.reshape(nq * k),
         s_ids,
         q_ids,
         n_support,
@@ -319,27 +333,34 @@ def scatter_add_sorted(
 # ------------------------------------------------------------------ #
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def sorted_gather(table, idx, support_xyz, query_xyz, lo, span, r0, level):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def sorted_gather(
+    table, idx, support_xyz, query_xyz, lo, span, r0, level,
+    query_sorted=True,
+):
     """rows-gather ``table[idx]`` whose backward runs the exact-extents
     sorted scatter kernel on TPU. (N, C), (M, K) -> (M, K, C).
 
     ``lo``/``span``/``r0``/``level`` describe the level-0 grid the pyramid
-    searched on (r0/level static); table/idx/xyz follow the sorted-pyramid
-    contract. Only valid for indices produced by the windowed search —
-    the size gate (ns > GRID_THRESHOLD) matches ops/pyramid.py's routing.
+    searched on (r0/level/query_sorted static); table/idx/support follow
+    the sorted-pyramid contract (``query_sorted=False`` for the pool
+    gather, whose query rows live in the next level's order). Only valid
+    for indices produced by the windowed search — the size gate
+    (ns > GRID_THRESHOLD) matches ops/pyramid.py's routing.
     """
     return jnp.take(table, idx, axis=0)
 
 
-def _fwd(table, idx, support_xyz, query_xyz, lo, span, r0, level):
+def _fwd(
+    table, idx, support_xyz, query_xyz, lo, span, r0, level, query_sorted
+):
     return (
         jnp.take(table, idx, axis=0),
         (idx, support_xyz, query_xyz, lo, span, table.shape[0]),
     )
 
 
-def _bwd(r0, level, res, ct):
+def _bwd(r0, level, query_sorted, res, ct):
     idx, support_xyz, query_xyz, lo, span, n_support = res
     use_kernel = (
         jax.default_backend() == "tpu"
@@ -350,7 +371,8 @@ def _bwd(r0, level, res, ct):
     )
     if use_kernel:
         grad = scatter_add_sorted(
-            ct, idx, support_xyz, query_xyz, lo, span, r0, level, n_support
+            ct, idx, support_xyz, query_xyz, lo, span, r0, level,
+            n_support, query_sorted=query_sorted,
         ).astype(ct.dtype)
     else:
         c = ct.shape[-1]

@@ -68,11 +68,46 @@ def test_build_pyramid_shapes(rng):
     lvl1 = np.asarray(pyr.xyz[1])
     want = {tuple(p) for p in xyz[:64]}
     assert {tuple(p) for p in lvl1} == want
-    # pool rows equal neighbor rows of the kept points
-    keep = np.nonzero(order < 64)[0]
-    np.testing.assert_array_equal(
-        np.asarray(pyr.sub_idx[0]), np.asarray(pyr.neigh_idx[0])[keep]
+    # pool rows equal neighbor rows of the kept points, aligned with the
+    # level-1 storage order (r3: each level re-sorts to its OWN grid)
+    lvl0 = np.asarray(pyr.xyz[0])
+    pos = np.array(
+        [np.nonzero((lvl0 == p).all(1))[0][0] for p in lvl1]
     )
+    np.testing.assert_array_equal(
+        np.asarray(pyr.sub_idx[0]), np.asarray(pyr.neigh_idx[0])[pos]
+    )
+
+
+def test_pyramid_levels_sorted_at_own_grid(rng):
+    """r3 regression: raster cell ids are NOT monotone under coarsening
+    (e.g. fine (0,39,*) < (1,0,*) maps to coarse (0,19) > (0,0)), so the
+    r2 build left levels >= 1 unsorted at their own grids — silently
+    shrinking the Pallas search windows there. Every level must be
+    non-decreasing in its own grid's raster ids."""
+    import jax.numpy as jnp
+
+    from pointunet_tpu.ops.knn_window import _grid_resolution
+    from pointunet_tpu.ops.pyramid import _level_resolutions
+
+    n = 8192
+    xyz = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    ratios = (4, 4, 2)
+    pyr = build_pyramid(jnp.asarray(xyz), 8, ratios)
+    r0 = _grid_resolution(n, 1.8)
+    rs = _level_resolutions(r0, len(ratios))
+    lo = np.asarray(pyr.xyz[0]).min(0)
+    span = np.maximum(np.asarray(pyr.xyz[0]).max(0) - lo, 1e-6)
+    for lvl in range(len(ratios) + 1):
+        p = np.asarray(pyr.xyz[lvl])
+        c3 = np.clip(
+            np.floor((p - lo) / span * r0).astype(np.int32), 0, r0 - 1
+        ) >> lvl
+        r = rs[lvl]
+        ids = (c3[:, 0] * r + c3[:, 1]) * r + c3[:, 2]
+        assert (np.diff(ids) >= 0).all(), (
+            f"level {lvl} not sorted at its own grid"
+        )
 
 
 def test_grid_subsample_numpy_basic():

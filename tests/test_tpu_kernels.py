@@ -140,7 +140,7 @@ def test_sorted_scatter_add_grad_level0_scale():
     lo = jnp.min(pyr.xyz[0], axis=0)
     span = jnp.maximum(jnp.max(pyr.xyz[0], axis=0) - lo, 1e-6)
 
-    def case(level, sup_xyz, q_xyz, idx, c, seed):
+    def case(level, sup_xyz, q_xyz, idx, c, seed, q_sorted=True):
         ns, (nq, k) = sup_xyz.shape[0], idx.shape
         ct = jax.random.normal(
             jax.random.PRNGKey(seed), (nq, k, c), jnp.float32
@@ -149,7 +149,8 @@ def test_sorted_scatter_add_grad_level0_scale():
         @jax.jit
         def max_rel_err(ct, idx, sup_xyz, q_xyz, lo, span):
             got = scatter_add_sorted(
-                ct, idx, sup_xyz, q_xyz, lo, span, r0, level, ns
+                ct, idx, sup_xyz, q_xyz, lo, span, r0, level, ns,
+                query_sorted=q_sorted,
             )
             want = (
                 jnp.zeros((ns, c), jnp.float32)
@@ -164,7 +165,8 @@ def test_sorted_scatter_add_grad_level0_scale():
     # level-0 self gather (5.8M rows), level-1 self, level-0 pool
     e0 = case(0, pyr.xyz[0], pyr.xyz[0], pyr.neigh_idx[0], 8, 0)
     e1 = case(1, pyr.xyz[1], pyr.xyz[1], pyr.neigh_idx[1], 16, 1)
-    ep = case(0, pyr.xyz[0], pyr.xyz[1], pyr.sub_idx[0], 32, 2)
+    ep = case(0, pyr.xyz[0], pyr.xyz[1], pyr.sub_idx[0], 32, 2,
+              q_sorted=False)
     print(f"\nsorted scatter-add max rel err: "
           f"L0={e0:.2e} L1={e1:.2e} pool={ep:.2e}")
     assert e0 < 1e-5, f"L0 sorted scatter max rel err {e0:.2e}"
