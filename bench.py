@@ -398,7 +398,7 @@ def bench_accuracy(args) -> dict:
     }
 
 
-def bench_train(which: str, repeats: int) -> dict:
+def bench_train(which: str, repeats: int, bf16: bool = False) -> dict:
     """Per-step training wall time at the reference's workload shapes.
 
     The reference publishes no training throughput; the T4/V100-era
@@ -430,7 +430,7 @@ def bench_train(which: str, repeats: int) -> dict:
     else:
         from pointunet_tpu.train.pointseg import PointSegTrainer
 
-        cfg = brats_pointseg_config()
+        cfg = brats_pointseg_config(use_bfloat16=bf16)
         trainer = PointSegTrainer(cfg)
         state = trainer.init_state()
         n = cfg.num_points
@@ -593,7 +593,9 @@ def main():
         print(json.dumps(bench_e2e_parity(args.repeats)))
         return
     if args.preset.startswith("train_"):
-        print(json.dumps(bench_train(args.preset, args.repeats)))
+        print(json.dumps(
+            bench_train(args.preset, args.repeats, bf16=args.acc_bf16)
+        ))
         return
 
     import jax

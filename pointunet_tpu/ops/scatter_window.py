@@ -36,6 +36,12 @@ windows (dropped gradient). The kernel stays as an opt-in and as the
 validated pattern for one-hot-matmul scatter on the MXU; the training
 default is the exact scatter.
 
+SUPERSEDED (r3): ops/scatter_sorted.py removes both defects (exact
+per-tile extents from the cell prefix sums + runtime-length chunked
+windows) and IS the training default — 1397 -> 662 ms f32 train step at
+365k. This module remains as the unsorted-cloud variant and for the r2
+measurement record; the model no longer calls it.
+
 Approximation contract: like the forward KNN, reverse windows are sized
 from average density with slack; indices that fall outside every window
 of their tile would silently drop gradient — the window maths mirror the
