@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -42,12 +42,14 @@ class PointSegConfig:
     # class weights follow reference DP.get_class_weights (helper_tool.py:172-184)
     class_counts: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     # dtype policy: bf16 matmuls with f32 accumulations/norm stats.
-    # Default f32 matches the reference's numerics (and the suite's
-    # cross-mesh loss-equality bars); on-chip bf16 is validated and fast —
-    # forward 132 vs 180 ms, train step 1.09 vs 1.57 s at 365k, argmax
-    # agreement 0.99988 (r2; the r1 worker crash no longer reproduces) —
-    # and the bench/fused inference paths enable it explicitly.
-    use_bfloat16: bool = False
+    # None = AUTO: bf16 on TPU, f32 elsewhere. Flipped to auto in r3 on
+    # convergence evidence at the full (240,240,155) x 365k contract —
+    # fused mean Dice 0.9999 both f32 and bf16 (ACCURACY_r03.json), train
+    # step 581 ms bf16 vs 662 ms f32 with the sorted-scatter kernel.
+    # CPU (tests, cross-mesh loss-equality bars) auto-resolves to f32,
+    # preserving the reference numerics there. Explicit True/False still
+    # forces the dtype (bench A/B uses this).
+    use_bfloat16: Optional[bool] = None
 
     @property
     def level_sizes(self) -> Tuple[int, ...]:

@@ -247,7 +247,12 @@ class RandLANet(nn.Module):
     ) -> jax.Array:
         cfg = self.config
         ax = self.axis_name
-        dt = jnp.bfloat16 if cfg.use_bfloat16 else None
+        # use_bfloat16=None -> auto: bf16 on TPU, f32 elsewhere
+        # (core/config.py r3 default; Dice-neutral A/B in ACCURACY_r03)
+        bf16 = cfg.use_bfloat16
+        if bf16 is None:
+            bf16 = jax.default_backend() == "tpu"
+        dt = jnp.bfloat16 if bf16 else None
 
         # the pyramid's level-0 search grid, recomputed bit-exactly
         # (ops/pyramid.py build_pyramid: same reduction over the same
