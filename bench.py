@@ -118,7 +118,7 @@ def _stage_roofline(fn, args, repeats: int) -> dict:
     return _roofline(flops, bytes_, ms, bytes_min)
 
 
-def bench_e2e(repeats: int) -> dict:
+def bench_e2e(repeats: int, sa_stride: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +130,9 @@ def bench_e2e(repeats: int) -> dict:
     from pointunet_tpu.models.saliency_unet import init_saliency_unet
     from pointunet_tpu.pipeline.fused import FusedPointUnet
 
-    scfg = brats_saliency_config(use_bfloat16=True)
+    scfg = brats_saliency_config(
+        use_bfloat16=True, sa_gate_stride=sa_stride
+    )
     # bf16 pointseg: validated on-chip r2 (argmax agreement 0.99988 vs
     # f32 at 365k; forward 132 vs 180 ms) — see docs/DESIGN.md
     pcfg = brats_pointseg_config(use_bfloat16=True)
@@ -346,9 +348,21 @@ def bench_accuracy(args) -> dict:
             v["batch_stats"] = state.batch_stats
         return v
 
+    # --sa_stride > 1: evaluate the strided-gate perf mode with the
+    # stride-1-TRAINED params (param trees are stride-independent) — the
+    # Dice A/B that gates enabling it on the latency path
+    smodel_eval = strainer.model
+    seval_cfg = scfg
+    if getattr(args, "sa_stride", 1) > 1:
+        import dataclasses as _dc
+
+        from pointunet_tpu.models.saliency_unet import SaliencyUNet
+
+        seval_cfg = _dc.replace(scfg, sa_gate_stride=args.sa_stride)
+        smodel_eval = SaliencyUNet(config=seval_cfg)
     pipe = FusedPointUnet(
-        strainer.model, to_vars(sstate), ptrainer.model, to_vars(pstate),
-        scfg, pcfg, threshold=0.5, volume_shape=shape,
+        smodel_eval, to_vars(sstate), ptrainer.model, to_vars(pstate),
+        seval_cfg, pcfg, threshold=0.5, volume_shape=shape,
         # brain-ROI window proportional to the synthetic brain (the bench
         # e2e configuration) so the Dice evidence covers the ROI path
         roi_shape=roi,
@@ -393,6 +407,7 @@ def bench_accuracy(args) -> dict:
         "volume_shape": list(shape),
         "n_points": n_points,
         "pointseg_bf16": bool(args.acc_bf16),
+        "sa_gate_stride": int(getattr(args, "sa_stride", 1)),
         "note": "synthetic nested-tumor task, held-out volumes; "
         "vs_baseline divides by reference BraTS20 offline mean dice",
     }
@@ -570,6 +585,10 @@ def main():
     parser.add_argument("--acc_full", action="store_true")
     # bf16 point-seg TRAINING for the accuracy preset (Dice A/B evidence)
     parser.add_argument("--acc_bf16", action="store_true")
+    # SA-gate resolution divisor (config.py sa_gate_stride). e2e: gate
+    # convs strided in the timed pipeline. accuracy: train stride-1,
+    # EVALUATE at the given stride (checkpoint-transfer Dice A/B)
+    parser.add_argument("--sa_stride", type=int, default=1)
     args = parser.parse_args()
 
     if not _backend_reachable():
@@ -584,7 +603,7 @@ def main():
         raise SystemExit(1)
 
     if args.preset == "e2e":
-        print(json.dumps(bench_e2e(args.repeats)))
+        print(json.dumps(bench_e2e(args.repeats, sa_stride=args.sa_stride)))
         return
     if args.preset == "accuracy":
         print(json.dumps(bench_accuracy(args)))

@@ -106,6 +106,16 @@ class SaliencyConfig:
     instance_norm: bool = True
     ca_attention: bool = True
     sa_attention: bool = True
+    # Spatial-attention gate resolution divisor. 1 = reference-exact
+    # (gate convs at full resolution). 2 = inference perf mode: the k=9
+    # separable gate convs (the single most expensive ops in the net,
+    # ~6.5 TFLOP at the BraTS ROI window) run on a 2x-avg-pooled input
+    # and the 1-channel gate is trilinearly resized back before the
+    # multiply — 8x fewer gate FLOPs. Param shapes are stride-
+    # independent, so checkpoints transfer across settings; Dice A/B on
+    # the full-contract synthetic task gates enabling it in bench/fused
+    # inference (docs/DESIGN.md).
+    sa_gate_stride: int = 1
     patch_size: Tuple[int, int, int] = (64, 160, 160)
     inference_patch_size: Tuple[int, int, int] = (64, 160, 160)
     batch_size: int = 2

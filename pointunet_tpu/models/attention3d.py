@@ -26,6 +26,11 @@ class SpatialAttention3D(nn.Module):
     axis_name: Optional[str] = None
     kernel: int = 9
     dtype: object = None
+    # broadcast=False returns the raw (B, D, H, W, 1) gate instead of
+    # tiling it over C — used by the strided-gate perf mode, where the
+    # gate is computed at reduced resolution and resized before the
+    # multiply (tiling first would resize C times the data)
+    broadcast: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -54,6 +59,8 @@ class SpatialAttention3D(nn.Module):
         a2 = branch((k, 1, k), (1, k, 1))
         a3 = branch((k, k, 1), (1, 1, k))
         gate = nn.sigmoid(a1 + a2 + a3)                     # (B, D, H, W, 1)
+        if not self.broadcast:
+            return gate
         return jnp.broadcast_to(gate, x.shape[:-1] + (c,))
 
 

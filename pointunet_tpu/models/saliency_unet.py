@@ -243,7 +243,23 @@ class SaliencyUNet(nn.Module):
         c345 = Up(4, 64, inorm, ax, dt)(c345, train)
 
         if cfg.sa_attention:
-            sa = SA(64, inorm, ax, dtype=dt)(c345, train)
+            s = cfg.sa_gate_stride
+            if s > 1:
+                # perf mode (config.py sa_gate_stride): gate convs on a
+                # pooled input, raw 1-ch gate resized back to full res;
+                # the (B,D,H,W,1) gate broadcasts against c12 in the
+                # multiply below. Params identical to the s=1 path.
+                g_in = nn.avg_pool(
+                    c345, (s, s, s), strides=(s, s, s), padding="VALID"
+                )
+                sa = SA(64, inorm, ax, dtype=dt, broadcast=False)(
+                    g_in, train
+                )
+                sa = jax.image.resize(
+                    sa, sa.shape[:1] + c345.shape[1:4] + (1,), "trilinear"
+                )
+            else:
+                sa = SA(64, inorm, ax, dtype=dt)(c345, train)
 
         c2 = Up(2, 64, inorm, ax, dt)(c2, train)
         c12 = jnp.concatenate([c1, c2], axis=-1)

@@ -50,6 +50,14 @@ if os.environ.get("POINTUNET_TPU_TESTS") != "1":
     # a PYTHONPATH-polluted run silently executes on the real chip, where
     # default conv/matmul precision is bf16 and f32-tolerance tests fail.
     jax.config.update("jax_platforms", "cpu")
+    # Param-init programs dominate cold-suite compiles: threefry's giant
+    # unrolled HLO makes XLA:CPU spend ~60 s optimizing each model's
+    # jitted init (measured r3: SaliencyUNet init-compile 62 s threefry
+    # vs 7.5 s rbg; fwd-compile unaffected). Every property asserted
+    # here is RNG-stream-independent (tolerance/descent/cross-mesh
+    # equality bars, no golden values), so the CPU suite uses the
+    # cheap-to-compile generator. Production paths keep the JAX default.
+    jax.config.update("jax_default_prng_impl", "rbg")
 
 jax.config.update(
     "jax_compilation_cache_dir",

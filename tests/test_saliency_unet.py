@@ -133,3 +133,46 @@ def test_lr_schedule_values():
     for epoch, expect in cfg.lr_schedule:
         got = float(sched(epoch * cfg.steps_per_epoch + 1))
         assert abs(got - expect) / expect < 1e-5, (epoch, got, expect)
+
+
+def test_sa_gate_stride_checkpoint_transfer():
+    """sa_gate_stride=2 (strided-gate perf mode, config.py) must keep the
+    exact param tree of the reference-exact stride-1 net — checkpoints
+    transfer — and a stride-1 param set applied at stride 2 must produce
+    finite full-resolution logits that stay close to the stride-1 output
+    (the gate is a smooth sigmoid field; pooled-input gating is a
+    documented approximation, not a different function)."""
+    cfg1 = brats_saliency_config(patch_size=TINY_PATCH, base_filter=4)
+    cfg2 = dataclasses.replace(cfg1, sa_gate_stride=2)
+    model1, variables = init_saliency_unet(jax.random.PRNGKey(0), cfg1)
+    model2 = SaliencyUNet(config=cfg2)
+
+    tree1 = jax.tree_util.tree_structure(variables)
+    shapes2 = jax.eval_shape(
+        lambda: model2.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1,) + TINY_PATCH + (4,)),
+            train=False,
+        )
+    )
+    assert jax.tree_util.tree_structure(shapes2) == tree1
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(variables),
+        jax.tree_util.tree_leaves(shapes2),
+    ):
+        assert p1.shape == p2.shape
+
+    x = jnp.asarray(
+        np.random.default_rng(1)
+        .standard_normal((1,) + TINY_PATCH + (4,))
+        .astype(np.float32)
+    )
+    out1 = jax.jit(lambda v, a: model1.apply(v, a, train=False))(variables, x)
+    out2 = jax.jit(lambda v, a: model2.apply(v, a, train=False))(variables, x)
+    assert out2.shape == out1.shape
+    a1, a2 = np.asarray(out1), np.asarray(out2)
+    assert np.isfinite(a2).all()
+    # same params, smoother gate: logits stay correlated and the argmax
+    # map barely moves (random init; the on-chip Dice A/B is the real bar)
+    agree = float((a1.argmax(-1) == a2.argmax(-1)).mean())
+    assert agree > 0.95, agree
