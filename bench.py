@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -312,6 +313,10 @@ def bench_accuracy(args) -> dict:
         )
         if k == args.saliency_steps - 1:
             saliency_loss = float(sm["loss"])
+        if k % 100 == 0:
+            print(f"[accuracy] saliency step {k}/{args.saliency_steps} "
+                  f"loss={float(sm['loss']):.4f}",
+                  file=sys.stderr, flush=True)
 
     # ---- stage 3: RandLA-Net on context-sampled clouds ----
     pcfg = brats_pointseg_config(
@@ -337,6 +342,10 @@ def bench_accuracy(args) -> dict:
         )
         if k == args.pointseg_steps - 1:
             pointseg_loss = float(pm["loss"])
+        if k % 200 == 0:
+            print(f"[accuracy] pointseg step {k}/{args.pointseg_steps} "
+                  f"loss={float(pm['loss']):.4f}",
+                  file=sys.stderr, flush=True)
 
     # ---- fused pipeline on held-out volumes ----
     import jax.tree_util as jtu
@@ -348,52 +357,50 @@ def bench_accuracy(args) -> dict:
             v["batch_stats"] = state.batch_stats
         return v
 
-    # --sa_stride > 1: evaluate the strided-gate perf mode with the
-    # stride-1-TRAINED params (param trees are stride-independent) — the
-    # Dice A/B that gates enabling it on the latency path
-    smodel_eval = strainer.model
-    seval_cfg = scfg
-    if getattr(args, "sa_stride", 1) > 1:
-        import dataclasses as _dc
+    def eval_pipe(smodel, seval_cfg):
+        pipe = FusedPointUnet(
+            smodel, to_vars(sstate), ptrainer.model, to_vars(pstate),
+            seval_cfg, pcfg, threshold=0.5, volume_shape=shape,
+            # brain-ROI window proportional to the synthetic brain (the
+            # bench e2e configuration) so the Dice evidence covers the
+            # ROI path
+            roi_shape=roi,
+        )
+        # warm the pipeline programs once so the timed loop measures
+        # steady state, not the first-call XLA compiles
+        warm = jax.device_put(jnp.asarray(test_vols[0][0], jnp.float32))
+        jax.block_until_ready(
+            pipe.segment_device(warm, jax.random.PRNGKey(99))
+        )
+        dices = []
+        lat = []
+        for i, (mods, seg) in enumerate(test_vols):
+            # stage the volume in HBM before timing: the axon relay
+            # uploads numpy at ~0.2 MB/s, which would otherwise dominate
+            # the latency column with tunnel artifact (measured 119
+            # s/volume for a 9.4 MB volume); the metric is the device
+            # pipeline, not the tunnel
+            mods_dev = jax.device_put(jnp.asarray(mods, jnp.float32))
+            key = jax.random.PRNGKey(100 + i)
+            jax.block_until_ready(mods_dev)
+            t0 = time.perf_counter()
+            labels_dev = pipe.segment_device(mods_dev, key)
+            _ = int(jnp.max(labels_dev))          # 4-byte sync
+            lat.append((time.perf_counter() - t0) * 1000)
+            pred = np.transpose(np.asarray(labels_dev), (2, 1, 0)).copy()
+            pred[pred == 3] = 4                   # reference label values
+            truth = np.where(seg == 3, 4, seg)
+            dices.append(brats_region_dice(pred, truth))
+        wt = float(np.mean([d["WT"] for d in dices]))
+        tc = float(np.mean([d["TC"] for d in dices]))
+        et = float(np.mean([d["ET"] for d in dices]))
+        return wt, tc, et, float(np.median(lat))
 
-        from pointunet_tpu.models.saliency_unet import SaliencyUNet
-
-        seval_cfg = _dc.replace(scfg, sa_gate_stride=args.sa_stride)
-        smodel_eval = SaliencyUNet(config=seval_cfg)
-    pipe = FusedPointUnet(
-        smodel_eval, to_vars(sstate), ptrainer.model, to_vars(pstate),
-        seval_cfg, pcfg, threshold=0.5, volume_shape=shape,
-        # brain-ROI window proportional to the synthetic brain (the bench
-        # e2e configuration) so the Dice evidence covers the ROI path
-        roi_shape=roi,
-    )
-    # warm the pipeline programs once so the timed loop measures steady
-    # state, not the first-call XLA compiles
-    warm = jax.device_put(jnp.asarray(test_vols[0][0], jnp.float32))
-    jax.block_until_ready(pipe.segment_device(warm, jax.random.PRNGKey(99)))
-    dices = []
-    lat = []
-    for i, (mods, seg) in enumerate(test_vols):
-        # stage the volume in HBM before timing: the axon relay uploads
-        # numpy at ~0.2 MB/s, which would otherwise dominate the latency
-        # column with tunnel artifact (measured 119 s/volume for a 9.4 MB
-        # volume); the metric is the device pipeline, not the tunnel
-        mods_dev = jax.device_put(jnp.asarray(mods, jnp.float32))
-        key = jax.random.PRNGKey(100 + i)
-        jax.block_until_ready(mods_dev)
-        t0 = time.perf_counter()
-        labels_dev = pipe.segment_device(mods_dev, key)
-        _ = int(jnp.max(labels_dev))              # 4-byte sync
-        lat.append((time.perf_counter() - t0) * 1000)
-        pred = np.transpose(np.asarray(labels_dev), (2, 1, 0)).copy()
-        pred[pred == 3] = 4                       # reference label values
-        truth = np.where(seg == 3, 4, seg)
-        dices.append(brats_region_dice(pred, truth))
-    wt = float(np.mean([d["WT"] for d in dices]))
-    tc = float(np.mean([d["TC"] for d in dices]))
-    et = float(np.mean([d["ET"] for d in dices]))
+    print("[accuracy] training done; evaluating fused pipeline",
+          file=sys.stderr, flush=True)
+    wt, tc, et, lat_med = eval_pipe(strainer.model, scfg)
     mean_dice = float(np.mean([wt, tc, et]))
-    return {
+    out = {
         "metric": "brats_synth_fused_dice_mean",
         "value": round(mean_dice, 4),
         "unit": "dice",
@@ -401,16 +408,37 @@ def bench_accuracy(args) -> dict:
         "dice_wt": round(wt, 4),
         "dice_tc": round(tc, 4),
         "dice_et": round(et, 4),
-        "latency_ms_median": round(float(np.median(lat)), 1),
+        "latency_ms_median": round(lat_med, 1),
         "saliency_final_loss": round(saliency_loss, 4),
         "pointseg_final_loss": round(pointseg_loss, 4),
         "volume_shape": list(shape),
         "n_points": n_points,
         "pointseg_bf16": bool(args.acc_bf16),
-        "sa_gate_stride": int(getattr(args, "sa_stride", 1)),
         "note": "synthetic nested-tumor task, held-out volumes; "
         "vs_baseline divides by reference BraTS20 offline mean dice",
     }
+    # --sa_stride > 1: ALSO evaluate the strided-gate perf mode with the
+    # same stride-1-TRAINED params (param trees are stride-independent) —
+    # a paired checkpoint-transfer Dice A/B on identical training, the
+    # evidence that gates enabling the stride on the latency path
+    if getattr(args, "sa_stride", 1) > 1:
+        import dataclasses as _dc
+
+        from pointunet_tpu.models.saliency_unet import SaliencyUNet
+
+        seval_cfg = _dc.replace(scfg, sa_gate_stride=args.sa_stride)
+        swt, stc, set_, slat = eval_pipe(
+            SaliencyUNet(config=seval_cfg), seval_cfg
+        )
+        out["stride_ab"] = {
+            "sa_gate_stride": int(args.sa_stride),
+            "dice_mean": round(float(np.mean([swt, stc, set_])), 4),
+            "dice_wt": round(swt, 4),
+            "dice_tc": round(stc, 4),
+            "dice_et": round(set_, 4),
+            "latency_ms_median": round(slat, 1),
+        }
+    return out
 
 
 def bench_train(which: str, repeats: int, bf16: bool = False) -> dict:
