@@ -421,7 +421,7 @@ def bench_accuracy(args) -> dict:
     # same stride-1-TRAINED params (param trees are stride-independent) —
     # a paired checkpoint-transfer Dice A/B on identical training, the
     # evidence that gates enabling the stride on the latency path
-    if getattr(args, "sa_stride", 1) > 1:
+    if (getattr(args, "sa_stride", None) or 1) > 1:
         import dataclasses as _dc
 
         from pointunet_tpu.models.saliency_unet import SaliencyUNet
@@ -614,9 +614,13 @@ def main():
     # bf16 point-seg TRAINING for the accuracy preset (Dice A/B evidence)
     parser.add_argument("--acc_bf16", action="store_true")
     # SA-gate resolution divisor (config.py sa_gate_stride). e2e: gate
-    # convs strided in the timed pipeline. accuracy: train stride-1,
-    # EVALUATE at the given stride (checkpoint-transfer Dice A/B)
-    parser.add_argument("--sa_stride", type=int, default=1)
+    # convs strided in the timed pipeline; defaults to 2 = the SHIPPED
+    # latency path (segment --fast), gated Dice-neutral by the paired
+    # full-contract A/B in ACCURACY_r03.json (632 -> 542 ms on chip);
+    # --sa_stride 1 times the reference-exact gate. accuracy: train
+    # stride-1, EVALUATE at the given stride (checkpoint-transfer Dice
+    # A/B); defaults to 1 (no A/B pass).
+    parser.add_argument("--sa_stride", type=int, default=None)
     args = parser.parse_args()
 
     if not _backend_reachable():
@@ -631,7 +635,8 @@ def main():
         raise SystemExit(1)
 
     if args.preset == "e2e":
-        print(json.dumps(bench_e2e(args.repeats, sa_stride=args.sa_stride)))
+        stride = 2 if args.sa_stride is None else args.sa_stride
+        print(json.dumps(bench_e2e(args.repeats, sa_stride=stride)))
         return
     if args.preset == "accuracy":
         print(json.dumps(bench_accuracy(args)))

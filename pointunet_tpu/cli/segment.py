@@ -37,13 +37,24 @@ from ..train.saliency import SaliencyTrainer
 
 def build_pipeline(args):
     # the fast path runs the attention net as one whole-volume window;
-    # bf16 compute keeps that inside HBM (f32 at (160,240,240,64) OOMs)
+    # bf16 compute keeps that inside HBM (f32 at (160,240,240,64) OOMs).
+    # It also runs the SA gate convs at stride 2 (config.py
+    # sa_gate_stride): checkpoints transfer across strides, and the
+    # full-contract paired A/B (ACCURACY_r03.json @ ffc8bbd) shows the
+    # strided gate is Dice-neutral (0.9999 -> 0.9999) at -17% latency
+    # (e2e 632 -> 542 ms on chip). --sa_stride 1 restores the
+    # reference-exact gate.
     bf16 = getattr(args, "fast", False)
+    stride = getattr(args, "sa_stride", None)
+    if stride is None:
+        stride = 2 if bf16 else 1
     if args.dataset == "brats":
-        scfg = brats_saliency_config(use_bfloat16=bf16)
+        scfg = brats_saliency_config(use_bfloat16=bf16, sa_gate_stride=stride)
         pcfg = brats_pointseg_config(num_points=args.n_point)
     else:
-        scfg = pancreas_saliency_config(use_bfloat16=bf16)
+        scfg = pancreas_saliency_config(
+            use_bfloat16=bf16, sa_gate_stride=stride
+        )
         pcfg = pancreas_pointseg_config(num_points=args.n_point)
 
     rng = jax.random.PRNGKey(0)
@@ -98,6 +109,11 @@ def main(argv=None):
                              "brain bbox, data_sampler.py:448); e.g. "
                              "--roi 192 208 155 for BraTS")
     parser.add_argument("--postprocess", action="store_true")
+    parser.add_argument("--sa_stride", type=int, default=None,
+                        help="SA-gate resolution divisor; default: 2 on the "
+                             "--fast path (Dice-neutral, -17% latency; "
+                             "ACCURACY_r03.json), 1 (reference-exact) "
+                             "otherwise")
     args = parser.parse_args(argv)
 
     pipeline = build_pipeline(args)

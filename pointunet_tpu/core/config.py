@@ -112,9 +112,12 @@ class SaliencyConfig:
     # ~6.5 TFLOP at the BraTS ROI window) run on a 2x-avg-pooled input
     # and the 1-channel gate is trilinearly resized back before the
     # multiply — 8x fewer gate FLOPs. Param shapes are stride-
-    # independent, so checkpoints transfer across settings; Dice A/B on
-    # the full-contract synthetic task gates enabling it in bench/fused
-    # inference (docs/DESIGN.md).
+    # independent, so checkpoints transfer across settings. Measured
+    # (paired full-contract A/B, ACCURACY_r03.json @ ffc8bbd): stride 2
+    # is Dice-neutral (mean 0.9999 -> 0.9999, ET -0.0001) and cuts
+    # fused e2e latency 632 -> 542 ms on chip, so the inference/latency
+    # paths (segment --fast, bench e2e) default to 2; training and the
+    # parity path stay at 1 (reference-exact).
     sa_gate_stride: int = 1
     patch_size: Tuple[int, int, int] = (64, 160, 160)
     inference_patch_size: Tuple[int, int, int] = (64, 160, 160)
