@@ -1,3 +1,5 @@
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pointunet_tpu.ops import (
@@ -162,6 +164,26 @@ def test_scatter_probs(rng):
     for i in range(4):
         x, y, z = xyz[i]
         np.testing.assert_allclose(vol[z, y, x], probs[i])
+
+
+def test_scatter_label_path_matches_prob_path(rng):
+    """The fused pipeline scatters argmaxed LABELS instead of prob rows
+    (pipeline/fused.py pointseg_scatter): softmax is monotone and both
+    scatters resolve duplicates last-write-wins, so the label volume must
+    equal argmax(prob volume) bit-exactly — including duplicate voxels and
+    empty voxels (all-zero probs argmax to background 0)."""
+    n, c = 512, 4
+    logits = rng.normal(size=(n, c)).astype(np.float32)
+    # coords with deliberate duplicates (6x6x6 grid, 512 points)
+    xyz = rng.integers(0, 6, size=(n, 3)).astype(np.int32)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    via_probs = np.argmax(
+        np.asarray(scatter_probs_to_volume(jnp.asarray(probs), xyz, (6, 6, 6))),
+        axis=-1,
+    ).astype(np.uint8)
+    labels = jnp.argmax(jnp.asarray(logits), axis=-1).astype(jnp.uint8)
+    via_labels = np.asarray(scatter_labels_to_volume(labels, xyz, (6, 6, 6)))
+    np.testing.assert_array_equal(via_labels, via_probs)
 
 
 def test_scatter_labels(rng):
