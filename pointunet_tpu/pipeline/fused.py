@@ -140,11 +140,12 @@ class FusedPointUnet:
                 pyramid,
                 train=False,
             )
-            # argmax BEFORE the scatter: softmax is monotone and the prob
-            # scatter resolves duplicates last-write-wins (.at[].set), so
-            # argmax(scatter(probs)) == scatter(argmax(logits)) bit-exactly
-            # (empty voxels: all-zero probs argmax to 0 == background
-            # label) — and the (Z, Y, X, C) f32 volume (143 MB at the
+            # argmax BEFORE the scatter: sampled voxel indices are unique
+            # (top_k), softmax is monotone, so at every written voxel
+            # argmax(probs) == argmax(logits) (raw logits even dodge f32
+            # softmax rounding ties) and empty voxels' all-zero probs
+            # argmax to 0 == background label. The (Z, Y, X, C) f32
+            # volume (143 MB at the
             # BraTS contract) never materializes: measured 62 -> ~5 ms
             # for the scatter+argmax tail
             labels_pt = jnp.argmax(logits[0], axis=-1).astype(jnp.uint8)

@@ -168,14 +168,17 @@ def test_scatter_probs(rng):
 
 def test_scatter_label_path_matches_prob_path(rng):
     """The fused pipeline scatters argmaxed LABELS instead of prob rows
-    (pipeline/fused.py pointseg_scatter): softmax is monotone and both
-    scatters resolve duplicates last-write-wins, so the label volume must
-    equal argmax(prob volume) bit-exactly — including duplicate voxels and
-    empty voxels (all-zero probs argmax to background 0)."""
-    n, c = 512, 4
+    (pipeline/fused.py pointseg_scatter): softmax is monotone, so at every
+    written voxel argmax(probs) == argmax(logits), and empty voxels
+    (all-zero probs) argmax to background 0. Coords are UNIQUE here —
+    matching the real path, whose top_k sampling yields unique voxel
+    indices; under duplicates JAX's .at[].set resolution order is
+    implementation-defined and the equivalence is not asserted."""
+    n, c = 200, 4
     logits = rng.normal(size=(n, c)).astype(np.float32)
-    # coords with deliberate duplicates (6x6x6 grid, 512 points)
-    xyz = rng.integers(0, 6, size=(n, 3)).astype(np.int32)
+    # unique coords on a 6x6x6 grid (216 cells, choose 200)
+    flat = rng.choice(216, size=n, replace=False).astype(np.int32)
+    xyz = np.stack([flat % 6, (flat // 6) % 6, flat // 36], axis=1).astype(np.int32)
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
     via_probs = np.argmax(
         np.asarray(scatter_probs_to_volume(jnp.asarray(probs), xyz, (6, 6, 6))),
