@@ -129,19 +129,39 @@ class LocalFeatureAggregation(nn.Module):
             ])
 
         # one combined [xyz | feature] gather: TPU gather cost is per ROW
-        # (~6 ns each, width-insensitive), so fusing the position and
-        # feature lookups halves round 1's gather time (measured v5e:
-        # 36 ms vs 62 ms per level-0 round at 365k x 16)
-        table = jnp.concatenate([xyz, feature.astype(xyz.dtype)], axis=-1)
-        neigh = gather(table, neigh_idx)                     # (B,N,K,3+d/2)
+        # (width-insensitive), so fusing the position and feature lookups
+        # halves round 1's gather time. r4: the row cost is also ~4-5x
+        # LOWER for 2-byte tables than 4-byte ones at ANY width (measured
+        # docs/probe_gather_variants.py: w=11 f32 64 ms vs w=14 bf16 14 ms
+        # real at 365k x 16, overhead-corrected), so in the bf16 policy the
+        # table rides entirely in bf16 with xyz split hi/lo (double-bf16):
+        # reconstruction is exact to ~4e-6 — three orders of magnitude
+        # under the search-grid cell — and the rel-pos encoding stays f32.
+        if self.dtype == jnp.bfloat16:
+            xyz_hi = xyz.astype(jnp.bfloat16)
+            xyz_lo = (xyz - xyz_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            table = jnp.concatenate(
+                [xyz_hi, xyz_lo, feature.astype(jnp.bfloat16)], axis=-1
+            )
+            neigh = gather(table, neigh_idx)             # (B,N,K,6+d/2)
+            neigh_xyz = (neigh[..., :3].astype(jnp.float32)
+                         + neigh[..., 3:6].astype(jnp.float32))
+            f_neigh = neigh[..., 6:]
+        else:
+            table = jnp.concatenate(
+                [xyz, feature.astype(xyz.dtype)], axis=-1
+            )
+            neigh = gather(table, neigh_idx)             # (B,N,K,3+d/2)
+            neigh_xyz = neigh[..., :3]
+            f_neigh = neigh[..., 3:].astype(feature.dtype)
         f_xyz = jax.vmap(encode_neighbor_xyz)(
-            xyz, neigh[..., :3]
+            xyz, neigh_xyz
         )                                                    # (B,N,K,10)
         f_xyz = SharedMLP(
             self.d_out // 2, momentum=self.momentum, dtype=self.dtype,
             axis_name=self.axis_name,
         )(f_xyz, train)
-        f_neigh = neigh[..., 3:].astype(feature.dtype)       # (B,N,K,d/2)
+        f_neigh = f_neigh.astype(feature.dtype)              # (B,N,K,d/2)
         f_concat = jnp.concatenate([f_neigh, f_xyz], axis=-1)
         f_agg = AttPooling(
             self.d_out // 2, momentum=self.momentum, dtype=self.dtype,

@@ -127,16 +127,27 @@ class FusedPointUnet:
                 xyz[None], self.pcfg.k_n, self.pcfg.sub_sampling_ratio
             )
 
+        pseg_bf16 = pointseg_config.use_bfloat16
+        if pseg_bf16 is None:
+            pseg_bf16 = jax.default_backend() == "tpu"
+
         @jax.jit
         def pointseg_scatter(pyramid, xyz, feats, origin):
             # the sorted-pyramid contract (ops/pyramid.py): gather the
             # row-aligned features/origins into cell-sorted order once;
             # the voxel scatter is order-agnostic, so no unsort exists
-            # anywhere on this path
+            # anywhere on this path. In the bf16 policy the reorder
+            # gathers a bf16 table (f32 row gathers are ~4-5x slower on
+            # TPU, docs/probe_gather_variants.py); fc0 casts to bf16
+            # either way, and the model reads xyz for geometry from
+            # pyramid.xyz (f32), not from these input features.
             order = pyramid.order[0]
+            feats_all = jnp.concatenate([xyz, feats], -1)
+            if pseg_bf16:
+                feats_all = feats_all.astype(jnp.bfloat16)
             logits = pointseg_model.apply(
                 pointseg_variables,
-                jnp.concatenate([xyz, feats], -1)[order][None],
+                feats_all[order][None],
                 pyramid,
                 train=False,
             )
