@@ -56,7 +56,9 @@ def _slab_resolution(
     thin slab makes x-cells ~P/3x thinner than y/z cells and the +-1-cell
     window misses true neighbors)."""
     ns_local = n_local + 2 * halo
-    sx = ns_local / float(n)
+    # a multi-hop halo can make the support window larger than the cloud
+    # (tiny levels): the support box is then the full cube, not a slab
+    sx = min(1.0, ns_local / float(n))
     c = (ns_local / alpha**3 / max(sx, 1e-6)) ** (1.0 / 3.0)
     return (
         max(int(math.ceil(c * sx)), 1),
@@ -73,36 +75,53 @@ def _self_knn_sharded(
     point_axis: str,
     halo: int,
     alpha: float,
+    n_valid: int | None = None,
 ) -> jax.Array:
     """Halo-exchange self-KNN on the point axis. Returns (B, N, k) int32
-    global (sorted-row) indices, sharded like the input."""
+    global (sorted-row) indices, sharded like the input.
+
+    ``n_valid``: number of REAL rows when the point axis was padded to
+    divisibility (r4, VERDICT item 5) — rows at or past it are copies of
+    the last real row, masked out of every support window and clipped out
+    of the returned indices."""
     n = int(xb.shape[1])
     p = mesh.shape[point_axis]
     n_local = n // p
+    nv = n if n_valid is None else n_valid
     res = _slab_resolution(n, n_local, halo, alpha)
     fwd = [(i, (i + 1) % p) for i in range(p)]
     bwd = [(i, (i - 1) % p) for i in range(p)]
+    # r4: a halo larger than one slab (deep levels, or dense-region slack
+    # at level 1 of the 365k contract: 14.6k halo vs an 11.4k slab) is
+    # fetched over MULTIPLE ppermute hops — the single-hop design silently
+    # clamped the halo to the slab and dropped true cross-slab neighbors
+    hops = max(1, -(-halo // n_local))
 
     def local(block):                       # (B_loc, n_local, 3)
         idx = jax.lax.axis_index(point_axis)
-        left = jax.lax.ppermute(block[:, -halo:], point_axis, fwd)
-        right = jax.lax.ppermute(block[:, :halo], point_axis, bwd)
+        lefts, rights = [], []
+        lbuf = rbuf = block
+        for _ in range(hops):
+            lbuf = jax.lax.ppermute(lbuf, point_axis, fwd)
+            rbuf = jax.lax.ppermute(rbuf, point_axis, bwd)
+            lefts.append(lbuf)
+            rights.append(rbuf)
+        left = jnp.concatenate(lefts[::-1], axis=1)[:, -halo:]
+        right = jnp.concatenate(rights, axis=1)[:, :halo]
         support = jnp.concatenate([left, block, right], axis=1)
-        # circular wrap delivers the wrong slab to edge devices: mask those
-        # rows exactly (sentinel cell id inside the window search)
-        ones = jnp.ones((halo,), bool)
-        valid = jnp.concatenate(
-            [ones & (idx > 0), jnp.ones((n_local,), bool),
-             ones & (idx < p - 1)]
-        )
+        # circular wrap delivers wrong slabs to edge devices and padding
+        # duplicates the last real row: both are masked EXACTLY by the
+        # global row index (sentinel cell id inside the window search)
+        grow = idx * n_local - halo + jnp.arange(n_local + 2 * halo)
+        valid = (grow >= 0) & (grow < nv)
         lidx = jax.vmap(
             lambda s, q: knn_cell_window(
                 s, q, k, alpha=alpha, support_valid=valid, resolution=res
             )
         )(support, block)
         # local support rows -> global sorted rows; only edge-device
-        # sentinel backfills can leave [0, n)
-        return jnp.clip(lidx + (idx * n_local - halo), 0, n - 1)
+        # sentinel backfills can leave [0, nv)
+        return jnp.clip(lidx + (idx * n_local - halo), 0, nv - 1)
 
     return shard_map(
         local,
@@ -185,13 +204,36 @@ def build_pyramid_sharded(
     for i, ratio in enumerate(ratios):
         ns_i = int(cur_x.shape[1])
         n_sub = ns_i // ratio
-        lvl_sharded = ns_i >= shard_min and ns_i % p == 0
+        lvl_sharded = ns_i >= shard_min
         if lvl_sharded:
-            halo = min(default_halo(ns_i, alpha), ns_i // p)
-            cur_x = jax.lax.with_sharding_constraint(cur_x, rows_sharded)
-            neigh = _self_knn_sharded(
-                cur_x, k, mesh, data_axis, point_axis, halo, alpha
+            # pad-to-divisible (r4, VERDICT item 5): a level whose row
+            # count does not divide the point axis (e.g. 91,250 @ p=8)
+            # previously fell back to the dense search. Padding with
+            # copies of the LAST row keeps cell-sortedness; the copies
+            # are masked out of every support window (n_valid) and their
+            # query outputs are sliced off below.
+            pad = (-ns_i) % p
+            ns_pad = ns_i + pad
+            # cap at (p-1) slabs: beyond that the halo IS the rest of the
+            # cloud (multi-hop exchange in _self_knn_sharded covers
+            # halos larger than one slab)
+            halo = min(
+                default_halo(ns_i, alpha), ns_pad - ns_pad // p
             )
+            if pad:
+                cur_xp = jnp.concatenate(
+                    [cur_x, jnp.broadcast_to(cur_x[:, -1:], (b, pad, 3))],
+                    axis=1,
+                )
+            else:
+                cur_xp = cur_x
+            cur_xp = jax.lax.with_sharding_constraint(cur_xp, rows_sharded)
+            neigh = _self_knn_sharded(
+                cur_xp, k, mesh, data_axis, point_axis, halo, alpha,
+                n_valid=ns_i if pad else None,
+            )[:, :ns_i]
+            if pad == 0:
+                cur_x = cur_xp
         elif ns_i <= GRID_THRESHOLD:
             neigh = jax.vmap(lambda x: knn(x, x, k))(cur_x)
         else:
@@ -214,7 +256,9 @@ def build_pyramid_sharded(
         sub_neigh = jnp.take_along_axis(neigh, idx_rel[..., None], axis=1)
 
         if lvl_sharded:
-            up = _up_sharded(cur_x, sub_x, mesh, data_axis, point_axis)
+            up = _up_sharded(
+                cur_xp, sub_x, mesh, data_axis, point_axis
+            )[:, :ns_i]
         elif ns_i <= GRID_THRESHOLD:
             up = jax.vmap(lambda s, q: knn(s, q, 1))(sub_x, cur_x)
         else:
