@@ -200,7 +200,9 @@ def _fused_pipeline_report(pipe, mods, repeats: int, metric: str) -> dict:
     }
 
 
-def bench_e2e(repeats: int, sa_stride: int = 1) -> dict:
+def bench_e2e(
+    repeats: int, sa_stride: int = 1, att_downscale: int = 1
+) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -227,6 +229,7 @@ def bench_e2e(repeats: int, sa_stride: int = 1) -> dict:
     pipe = FusedPointUnet(
         smodel, svars, pmodel, pvars, scfg, pcfg,
         roi_shape=(192, 208, 155),
+        att_downscale=att_downscale,
     )
 
     key = jax.random.PRNGKey(1)
@@ -787,7 +790,7 @@ def bench_accuracy(args) -> dict:
             v["batch_stats"] = state.batch_stats
         return v
 
-    def eval_pipe(smodel, seval_cfg):
+    def eval_pipe(smodel, seval_cfg, att_downscale=1):
         pipe = FusedPointUnet(
             smodel, to_vars(sstate), ptrainer.model, to_vars(pstate),
             seval_cfg, pcfg, threshold=0.5, volume_shape=shape,
@@ -795,6 +798,7 @@ def bench_accuracy(args) -> dict:
             # bench e2e configuration) so the Dice evidence covers the
             # ROI path
             roi_shape=roi,
+            att_downscale=att_downscale,
         )
         # warm the pipeline programs once so the timed loop measures
         # steady state, not the first-call XLA compiles
@@ -894,6 +898,26 @@ def bench_accuracy(args) -> dict:
             "dice_tc": round(stc, 4),
             "dice_et": round(set_, 4),
             "latency_ms_median": round(slat, 1),
+        }
+    # --att_downscale > 1: evaluate the half-resolution-attention perf
+    # mode (pipeline/fused.py att_downscale) with the same full-res-TRAINED
+    # params — the paired Dice A/B that gates enabling it on the latency
+    # path. The attention output's only consumer is the point sampler, so
+    # the hypothesis is Dice-neutrality; this measures it.
+    if (getattr(args, "att_downscale", None) or 1) > 1:
+        dwt, dtc, det_, dlat, dhd = eval_pipe(
+            strainer.model, scfg, att_downscale=args.att_downscale
+        )
+        out["downscale_ab"] = {
+            "att_downscale": int(args.att_downscale),
+            "dice_mean": round(float(np.mean([dwt, dtc, det_])), 4),
+            "dice_wt": round(dwt, 4),
+            "dice_tc": round(dtc, 4),
+            "dice_et": round(det_, 4),
+            "hd95_wt": round(dhd["WT"], 2),
+            "hd95_tc": round(dhd["TC"], 2),
+            "hd95_et": round(dhd["ET"], 2),
+            "latency_ms_median": round(dlat, 1),
         }
     return out
 
@@ -1079,6 +1103,11 @@ def main():
     # stride-1, EVALUATE at the given stride (checkpoint-transfer Dice
     # A/B); defaults to 1 (no A/B pass).
     parser.add_argument("--sa_stride", type=int, default=None)
+    # attention-resolution divisor (pipeline/fused.py att_downscale): the
+    # WHOLE saliency net on an s^3-pooled window, prob map resized back.
+    # e2e: times the perf mode (default 1 = full res until the Dice A/B
+    # gates a flip); accuracy: adds a paired checkpoint-transfer Dice A/B.
+    parser.add_argument("--att_downscale", type=int, default=None)
     args = parser.parse_args()
 
     if not _backend_reachable():
@@ -1094,7 +1123,10 @@ def main():
 
     if args.preset == "e2e":
         stride = 2 if args.sa_stride is None else args.sa_stride
-        print(json.dumps(bench_e2e(args.repeats, sa_stride=stride)))
+        down = 1 if args.att_downscale is None else args.att_downscale
+        print(json.dumps(
+            bench_e2e(args.repeats, sa_stride=stride, att_downscale=down)
+        ))
         return
     if args.preset == "accuracy":
         print(json.dumps(bench_accuracy(args)))

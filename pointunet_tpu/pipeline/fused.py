@@ -46,6 +46,7 @@ class FusedPointUnet:
         threshold: float = 0.9,
         volume_shape=(240, 240, 155),   # (X, Y, Z)
         roi_shape=None,                 # (X, Y, Z) static brain-ROI crop
+        att_downscale: int = 1,         # run saliency at 1/s resolution
     ):
         """roi_shape: optional static (rx, ry, rz) brain-region crop for the
         attention stage. The reference never runs attention on the full
@@ -60,21 +61,37 @@ class FusedPointUnet:
         window lose only margin that is background in practice. Besides the
         ~1.4x less attention work, the instance-norm footprint then matches
         the reference's brain-cropped statistics rather than a half-empty
-        padded volume."""
+        padded volume.
+
+        att_downscale: optional perf mode (s > 1) — the WHOLE saliency net
+        runs on an s^3-avg-pooled window and the class-1 probability map is
+        trilinearly resized back before thresholding. This is sound
+        because the attention output's only consumer is the point SAMPLER
+        (a tumor-region prior; `sample` below) — final voxel labels come
+        entirely from the point network — so the mask needs localization,
+        not voxel-exact boundaries. Conv/norm parameters are
+        spatial-size-independent, so full-res-trained checkpoints transfer
+        unchanged; the generalization of the `sa_gate_stride` precedent
+        (config.py), gated by the same paired full-contract Dice A/B
+        (bench.py --preset accuracy --att_downscale 2)."""
         self.scfg = saliency_config
         self.pcfg = pointseg_config
         self.threshold = threshold
         self.volume_shape = tuple(volume_shape)
         self.roi_shape = None if roi_shape is None else tuple(roi_shape)
+        self.att_downscale = int(att_downscale)
+        s = self.att_downscale
         x, y, z = self.volume_shape
         if self.roi_shape is not None:
             rx, ry, rz = (min(r, d) for r, d in zip(self.roi_shape, (x, y, z)))
             self.roi_shape = (rx, ry, rz)
         else:
             rx, ry, rz = x, y, z
-        zp = _pad_to_multiple(rz, 16)
-        yp = _pad_to_multiple(ry, 16)
-        xp = _pad_to_multiple(rx, 16)
+        # the pooled window must still divide the net's depth-5 stride, so
+        # pad to a multiple of 16*s before pooling
+        zp = _pad_to_multiple(rz, 16 * s)
+        yp = _pad_to_multiple(ry, 16 * s)
+        xp = _pad_to_multiple(rx, 16 * s)
 
         def _roi_start(present, size, r):
             # bbox center of the nonzero projection, clamped so the static
@@ -103,10 +120,17 @@ class FusedPointUnet:
                 vol,
                 ((0, zp - rz), (0, yp - ry), (0, xp - rx), (0, 0)),
             )
+            if s > 1:
+                c = vol.shape[-1]
+                vol = vol.reshape(
+                    zp // s, s, yp // s, s, xp // s, s, c
+                ).mean(axis=(1, 3, 5))
             logits = saliency_model.apply(
                 saliency_variables, vol[None], train=False
             )[0]
             probs = jax.nn.softmax(logits, axis=-1)[..., 1]
+            if s > 1:
+                probs = jax.image.resize(probs, (zp, yp, xp), "trilinear")
             probs = probs[:rz, :ry, :rx]
             mask_roi = jnp.transpose(probs, (2, 1, 0)) >= threshold
             if self.roi_shape is None:
@@ -199,23 +223,54 @@ class FusedPointUnet:
         mesh=None,
     ) -> jax.Array:
         """Data-parallel batch inference: volumes shard over the mesh's
-        data axis (GSPMD; one volume per device at B == mesh size), each
-        running the full fused pipeline. Returns (B, Z, Y, X) uint8.
+        data axis (one volume per device at B == mesh size), each running
+        the full fused pipeline. Returns (B, Z, Y, X) uint8.
 
         The multi-chip analog of the reference's one-GPU-per-process test
-        loop — no NCCL/MPI, the mesh partitioner places the per-volume
-        programs (SURVEY §2.5).
+        loop — no NCCL/MPI, the mesh places the per-volume programs
+        (SURVEY §2.5). The per-volume axis is `lax.map`, NOT `vmap`:
+        vmapping the RandLA forward adds a batch dimension to its
+        multi-million-row neighbor gathers, which XLA:TPU miscompiles into
+        a faulting kernel at the 365k BraTS contract (measured r4: device
+        fault in the batched forward with every stage before it clean —
+        the unbatched program is fine). lax.map runs the identical
+        unbatched program per volume and compiles it ONCE regardless of
+        batch size; under a mesh, shard_map gives every device its local
+        shard so the map body stays the single-volume program end to end.
         """
         if self._batched_fn is None:
-            self._batched_fn = jax.jit(jax.vmap(self._volume_raw))
+            def _mapped(mods_b, keys_b):
+                return jax.lax.map(
+                    lambda mk: self._volume_raw(mk[0], mk[1]),
+                    (mods_b, keys_b),
+                )
+
+            self._batched_fn = jax.jit(_mapped)
+            self._sharded_fns = {}
         if mesh is not None:
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as P
+
             from ..parallel.mesh import batch_sharding
 
+            key_m = id(mesh)
+            if key_m not in self._sharded_fns:
+                axes = tuple(mesh.axis_names)
+                spec = P(axes[0])
+                self._sharded_fns[key_m] = jax.jit(
+                    jax.shard_map(
+                        self._batched_fn.__wrapped__,
+                        mesh=mesh,
+                        in_specs=(spec, spec),
+                        out_specs=spec,
+                        check_vma=False,
+                    )
+                )
             sh = batch_sharding(mesh)
             modalities = jax.device_put(modalities, sh)
             keys = jax.device_put(keys, sh)
-            with mesh:
-                return self._batched_fn(modalities, keys)
+            return self._sharded_fns[key_m](modalities, keys)
         return self._batched_fn(modalities, keys)
 
     def segment_volume(

@@ -159,3 +159,36 @@ def test_fused_pipeline_roi_matches_full_when_roi_is_volume(rng):
     a = np.asarray(full._attention_mask(jnp.asarray(mods)))
     b = np.asarray(roi._attention_mask(jnp.asarray(mods)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_pipeline_att_downscale(rng):
+    """att_downscale perf mode (pipeline/fused.py): the saliency net runs
+    on an s^3-pooled window, the prob map is resized back. The mask must
+    stay confined to the ROI window, the pad-to-multiple-of-16s plumbing
+    must hold at a shape that is NOT 32-divisible, and the end-to-end
+    path must still produce labels. threshold=0.0 makes every in-window
+    voxel salient regardless of resolution, so the mask must equal the
+    ROI window exactly — an invariance the resize cannot break. Shapes
+    deliberately match test_fused_pipeline_roi_crop so every program
+    except the s=2 attention graph is a compile-cache hit."""
+    scfg = brats_saliency_config(base_filter=4)
+    pcfg = brats_pointseg_config(num_points=1024, k_n=8)
+    k = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(k, scfg)
+    pmodel, pvars = init_randlanet(k, pcfg, num_points=1024)
+    pipe = FusedPointUnet(
+        smodel, svars, pmodel, pvars, scfg, pcfg,
+        threshold=0.0, volume_shape=(32, 32, 16), roi_shape=(16, 16, 16),
+        att_downscale=2,
+    )
+    mods = np.zeros((4, 32, 32, 16), np.float32)
+    mods[:, 8:24, 12:28, 2:14] = rng.uniform(
+        0.5, 1.5, (4, 16, 16, 12)
+    ).astype(np.float32)
+    mask = np.asarray(pipe._attention_mask(jnp.asarray(mods)))
+    expect = np.zeros((32, 32, 16), bool)
+    expect[8:24, 12:28, 0:16] = True
+    np.testing.assert_array_equal(mask, expect)
+    labels = pipe.segment_volume(mods)
+    assert labels.shape == (32, 32, 16)
+    assert set(np.unique(labels)) <= {0, 1, 2, 4}
