@@ -624,33 +624,39 @@ def bench_accuracy_pancreas(args) -> dict:
             v["batch_stats"] = state.batch_stats
         return v
 
-    pipe = FusedPointUnet(
-        strainer.model, to_vars(sstate), ptrainer.model, to_vars(pstate),
-        scfg, pcfg, threshold=0.5, volume_shape=shape,
-    )
-    warm = jax.device_put(jnp.asarray(test_vols[0][0], jnp.float32))
-    jax.block_until_ready(pipe.segment_device(warm, jax.random.PRNGKey(99)))
-    dices, hd95s, lat = [], [], []
-    diag = float(np.linalg.norm(shape))
-    for i, (ct, seg) in enumerate(test_vols):
-        ct_dev = jax.device_put(jnp.asarray(ct, jnp.float32))
-        key = jax.random.PRNGKey(100 + i)
-        jax.block_until_ready(ct_dev)
-        t0 = time.perf_counter()
-        labels_dev = pipe.segment_device(ct_dev, key)
-        _ = int(jnp.max(labels_dev))
-        lat.append((time.perf_counter() - t0) * 1000)
-        pred = np.transpose(np.asarray(labels_dev), (2, 1, 0))
-        dices.append(binary_dice(pred > 0, seg > 0))
-        hd95s.append(min(hausdorff95(pred > 0, seg > 0), diag))
+    def eval_pipe(att_downscale=1):
+        pipe = FusedPointUnet(
+            strainer.model, to_vars(sstate), ptrainer.model,
+            to_vars(pstate), scfg, pcfg, threshold=0.5,
+            volume_shape=shape, att_downscale=att_downscale,
+        )
+        warm = jax.device_put(jnp.asarray(test_vols[0][0], jnp.float32))
+        jax.block_until_ready(
+            pipe.segment_device(warm, jax.random.PRNGKey(99))
+        )
+        dices, hd95s, lat = [], [], []
+        diag = float(np.linalg.norm(shape))
+        for i, (ct, seg) in enumerate(test_vols):
+            ct_dev = jax.device_put(jnp.asarray(ct, jnp.float32))
+            key = jax.random.PRNGKey(100 + i)
+            jax.block_until_ready(ct_dev)
+            t0 = time.perf_counter()
+            labels_dev = pipe.segment_device(ct_dev, key)
+            _ = int(jnp.max(labels_dev))
+            lat.append((time.perf_counter() - t0) * 1000)
+            pred = np.transpose(np.asarray(labels_dev), (2, 1, 0))
+            dices.append(binary_dice(pred > 0, seg > 0))
+            hd95s.append(min(hausdorff95(pred > 0, seg > 0), diag))
+        return dices, hd95s, lat
 
+    dices, hd95s, lat = eval_pipe()
     classes, params = _fit_qda(train_vols)
     gmm = float(np.mean([
         binary_dice(_qda_predict(classes, params, ct) > 0, seg > 0)
         for ct, seg in test_vols
     ]))
     mean_dice = float(np.mean(dices))
-    return {
+    out_pan = {
         "metric": "pancreas_synth_fused_dice",
         "value": round(mean_dice, 4),
         "unit": "dice",
@@ -668,6 +674,18 @@ def bench_accuracy_pancreas(args) -> dict:
         "note": "synthetic low-contrast pancreas sweep task, held-out "
         "volumes; vs_baseline divides by reference Pancreas mean dice",
     }
+    # paired checkpoint-transfer Dice A/B for the half-res attention perf
+    # mode (pipeline/fused.py att_downscale) — the pancreas gate: its
+    # attention stage is ~78% of e2e, so the mode matters most here
+    if (getattr(args, "att_downscale", None) or 1) > 1:
+        ddices, dhd95s, dlat = eval_pipe(att_downscale=args.att_downscale)
+        out_pan["downscale_ab"] = {
+            "att_downscale": int(args.att_downscale),
+            "dice": round(float(np.mean(ddices)), 4),
+            "hd95": round(float(np.mean(dhd95s)), 2),
+            "latency_ms_median": round(float(np.median(dlat)), 1),
+        }
+    return out_pan
 
 
 def bench_accuracy(args) -> dict:

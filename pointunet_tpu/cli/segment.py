@@ -114,6 +114,11 @@ def main(argv=None):
                              "--fast path (Dice-neutral, -17% latency; "
                              "ACCURACY_r03.json), 1 (reference-exact) "
                              "otherwise")
+    parser.add_argument("--att_downscale", type=int, default=1,
+                        help="run the whole saliency net at 1/s resolution "
+                             "on the --fast path (the mask only guides "
+                             "point sampling; pipeline/fused.py). Gated by "
+                             "the paired Dice A/B in the accuracy preset")
     args = parser.parse_args(argv)
 
     pipeline = build_pipeline(args)
@@ -140,6 +145,7 @@ def main(argv=None):
                     threshold=args.threshold,
                     volume_shape=mods.shape[1:],
                     roi_shape=args.roi,
+                    att_downscale=getattr(args, "att_downscale", 1),
                 )
             labels = fast_pipe.segment_volume(
                 mods, brats_labels=args.dataset == "brats"

@@ -59,12 +59,36 @@ if os.environ.get("POINTUNET_TPU_TESTS") != "1":
     # cheap-to-compile generator. Production paths keep the JAX default.
     jax.config.update("jax_default_prng_impl", "rbg")
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache"),
-)
+_CACHE_DIR = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def _cache_entries():
+    try:
+        return set(os.listdir(_CACHE_DIR))
+    except OSError:
+        return set()
+
+
+def pytest_sessionstart(session):
+    session.config._jax_cache_start = _cache_entries()
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Make warm-vs-cold visible (VERDICT r3 item 7: 'verify, don't
+    assume'): a warm run re-uses every persistent-cache entry; a cold run
+    pays one XLA:CPU compile per NEW entry listed here (the suite's cost
+    is compiles, not compute — docs/DESIGN.md)."""
+    start = getattr(config, "_jax_cache_start", set())
+    now = _cache_entries()
+    new = now - start
+    terminalreporter.write_line(
+        f"[jax-cache] {_CACHE_DIR}: {len(start)} entries at start, "
+        f"{len(new)} cold compiles paid this run"
+        + ("" if new else " (fully warm)")
+    )
 
 
 @pytest.fixture
