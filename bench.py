@@ -230,6 +230,9 @@ def bench_e2e(
         smodel, svars, pmodel, pvars, scfg, pcfg,
         roi_shape=(192, 208, 155),
         att_downscale=att_downscale,
+        # shipped pairing (see accuracy downscale_ab): dilation re-admits
+        # the boundary voxels the coarse probability map misses
+        mask_dilate=att_downscale if att_downscale > 1 else 0,
     )
 
     key = jax.random.PRNGKey(1)
@@ -624,11 +627,12 @@ def bench_accuracy_pancreas(args) -> dict:
             v["batch_stats"] = state.batch_stats
         return v
 
-    def eval_pipe(att_downscale=1):
+    def eval_pipe(att_downscale=1, mask_dilate=0):
         pipe = FusedPointUnet(
             strainer.model, to_vars(sstate), ptrainer.model,
             to_vars(pstate), scfg, pcfg, threshold=0.5,
             volume_shape=shape, att_downscale=att_downscale,
+            mask_dilate=mask_dilate,
         )
         warm = jax.device_put(jnp.asarray(test_vols[0][0], jnp.float32))
         jax.block_until_ready(
@@ -678,9 +682,13 @@ def bench_accuracy_pancreas(args) -> dict:
     # mode (pipeline/fused.py att_downscale) — the pancreas gate: its
     # attention stage is ~78% of e2e, so the mode matters most here
     if (getattr(args, "att_downscale", None) or 1) > 1:
-        ddices, dhd95s, dlat = eval_pipe(att_downscale=args.att_downscale)
+        ddices, dhd95s, dlat = eval_pipe(
+            att_downscale=args.att_downscale,
+            mask_dilate=args.att_downscale,
+        )
         out_pan["downscale_ab"] = {
             "att_downscale": int(args.att_downscale),
+            "mask_dilate": int(args.att_downscale),
             "dice": round(float(np.mean(ddices)), 4),
             "hd95": round(float(np.mean(dhd95s)), 2),
             "latency_ms_median": round(float(np.median(dlat)), 1),
@@ -808,7 +816,7 @@ def bench_accuracy(args) -> dict:
             v["batch_stats"] = state.batch_stats
         return v
 
-    def eval_pipe(smodel, seval_cfg, att_downscale=1):
+    def eval_pipe(smodel, seval_cfg, att_downscale=1, mask_dilate=0):
         pipe = FusedPointUnet(
             smodel, to_vars(sstate), ptrainer.model, to_vars(pstate),
             seval_cfg, pcfg, threshold=0.5, volume_shape=shape,
@@ -817,6 +825,7 @@ def bench_accuracy(args) -> dict:
             # ROI path
             roi_shape=roi,
             att_downscale=att_downscale,
+            mask_dilate=mask_dilate,
         )
         # warm the pipeline programs once so the timed loop measures
         # steady state, not the first-call XLA compiles
@@ -923,11 +932,17 @@ def bench_accuracy(args) -> dict:
     # path. The attention output's only consumer is the point sampler, so
     # the hypothesis is Dice-neutrality; this measures it.
     if (getattr(args, "att_downscale", None) or 1) > 1:
+        # the r4 undilated A/B measured -0.0125 mean Dice (the coarse
+        # map misses thin boundary voxels); the shipped mode pairs the
+        # downscale with mask_dilate=s to re-admit the boundary into
+        # the sampled set — this evaluates that combination
         dwt, dtc, det_, dlat, dhd = eval_pipe(
-            strainer.model, scfg, att_downscale=args.att_downscale
+            strainer.model, scfg, att_downscale=args.att_downscale,
+            mask_dilate=args.att_downscale,
         )
         out["downscale_ab"] = {
             "att_downscale": int(args.att_downscale),
+            "mask_dilate": int(args.att_downscale),
             "dice_mean": round(float(np.mean([dwt, dtc, det_])), 4),
             "dice_wt": round(dwt, 4),
             "dice_tc": round(dtc, 4),

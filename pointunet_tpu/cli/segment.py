@@ -146,6 +146,12 @@ def main(argv=None):
                     volume_shape=mods.shape[1:],
                     roi_shape=args.roi,
                     att_downscale=getattr(args, "att_downscale", 1),
+                    # pair the downscale with boundary dilation (see
+                    # pipeline/fused.py mask_dilate + the accuracy A/B)
+                    mask_dilate=(
+                        args.att_downscale
+                        if getattr(args, "att_downscale", 1) > 1 else 0
+                    ),
                 )
             labels = fast_pipe.segment_volume(
                 mods, brats_labels=args.dataset == "brats"

@@ -26,11 +26,17 @@ structurally:
     of separate coord/cell copies at identical bytes.
   * Tiles are split by measured candidate density (exact per-window
     extents from the cell prefix sums) into two predicated launches over
-    the same grid: sparse tiles run a 3-window kernel (one contiguous
-    [dy-1, dy+1] span per dx — 3 DMAs, small board), dense tiles the
-    9-window kernel at full width. A dynamic chunk-list formulation
-    measured 1.5x SLOWER than static boards (Mosaic per-iteration
-    scalar/dynamic-slice overhead), hence static shapes + pl.when.
+    the same grid, both 9-window, differing ONLY in board width: tiles
+    whose widest exact window fits 512 rows (94% of a realistic BraTS
+    e2e cloud) run the narrow board, the rest the full width. The k-step
+    extraction sweeps the static (tile, 9*W) board k times, so average
+    board width IS the VPU cost (~1.85x fewer lanes on that cloud). A
+    dynamic chunk-list formulation measured 1.5x SLOWER than static
+    boards (Mosaic per-iteration scalar/dynamic-slice overhead), hence
+    static shapes + pl.when. An earlier 3-window sparse class (one
+    contiguous [dy-1, dy+1] span per dx) was removed: the contiguous
+    span includes every row between the dy cells, so only ~2.5% of
+    realistic tiles ever qualified.
 
 HBM traffic per tile is exactly the window bytes (no intermediate
 tensors), and the selection runs entirely out of VMEM. Window size is a
@@ -57,12 +63,14 @@ from .knn_window import _grid_resolution, _round_up, knn_cell_window
 def _kernel_factory(
     tile: int, window: int, k: int, groups: int, flag: int = -1
 ):
-    """groups == 9: one window per (dx, dy) offset. groups == 3: one
-    contiguous window per dx covering the [dy-1, dy+1] cell span (fewer
-    DMAs; windows are wider). flag >= 0: per-tile class predication — the
-    body runs only for tiles whose prefetched class equals ``flag`` (the
-    dual-launch density split). flag == -1: single launch, no gate."""
-    assert groups in (3, 9)
+    """groups == 9: one window per (dx, dy) offset. flag >= 0: per-tile
+    class predication — the body runs only for tiles whose prefetched
+    class equals ``flag`` (the dual-launch density split). flag == -1:
+    single launch, no gate. (An r2-r3 3-group variant — one contiguous
+    [dy-1, dy+1] span per dx — was removed in r4: on a realistic e2e
+    cloud only 2.5% of tiles fit its contiguous span in a small window,
+    so it optimized a class that barely exists.)"""
+    assert groups == 9
     nw = groups * window
     log2w = int(math.log2(window))
     assert 1 << log2w == window, "window must be a power of two"
@@ -125,10 +133,7 @@ def _kernel_factory(
         for cp in copies:
             cp.wait()
 
-        if groups == 9:
-            deltas = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-        else:
-            deltas = [(dx, None) for dx in (-1, 0, 1)]
+        deltas = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
         for g, (dx, dy) in enumerate(deltas):
             sl = slice(g * window, (g + 1) * window)
@@ -146,10 +151,7 @@ def _kernel_factory(
                 diff = qp[:, c : c + 1] - rows[c : c + 1, :]
                 d2 = d2 + diff * diff           # (T, W), >= 0
             dxv = (cells[0:1, :] - qc[:, 0:1]) == dx
-            if dy is None:
-                dyv = jnp.abs(cells[1:2, :] - qc[:, 1:2]) <= 1
-            else:
-                dyv = (cells[1:2, :] - qc[:, 1:2]) == dy
+            dyv = (cells[1:2, :] - qc[:, 1:2]) == dy
             valid = dxv & dyv & (jnp.abs(cells[2:3, :] - qc[:, 2:3]) <= 1)
             # packed key: f32 bits of d^2 are order-preserving for d^2>=0;
             # low bits carry the global column so one min-reduce yields
@@ -277,9 +279,6 @@ def knn_pallas_core(
         for dy in (-1, 0, 1)
     ]
     w0_9, end_9 = extents(off9)
-    # 3-window launch: one contiguous [dy-1, dy+1] span per dx
-    off3 = [(dx * r2 - r - 1, dx * r2 + r + 1) for dx in (-1, 0, 1)]
-    w0_3, end_3 = extents(off3)
 
     def launch(win, grps, flag, w0, cls):
         kernel = _kernel_factory(tile, win, k, grps, flag=flag)
@@ -324,13 +323,21 @@ def knn_pallas_core(
             window, 9, -1, w0_9, jnp.zeros((nt,), jnp.int32)
         )
     else:
-        # Density split (see module docstring): sparse tiles — the 3
-        # contiguous per-dx spans fit a small window — run the 3-DMA
-        # kernel; dense (tumor-region) tiles run the 9-window kernel at
-        # full width. Two predicated launches over the same grid; each
-        # tile's body executes in exactly one.
-        cls = (jnp.max(end_3 - w0_3, axis=1) <= small).astype(jnp.int32)
-        idx_s, negd_s = launch(small, 3, 1, w0_3, cls)
+        # Density split (see module docstring). r4 REDESIGN, measured on
+        # a realistic BraTS e2e cloud (365k brain-ellipsoid voxels +
+        # all-voxel tumor ball, r=40): the old 3-window sparse class
+        # (contiguous per-dx span <= 512) fired on 2.5% of tiles — the
+        # contiguous [dy-1, dy+1] span includes every row BETWEEN the dy
+        # cells, so almost nothing qualifies — while 94% of tiles fit
+        # ALL NINE exact per-(dx,dy) windows in 512 rows. Both classes
+        # now run the 9-window kernel and differ only in board width;
+        # the k-step min extraction sweeps the static (tile, 9*W) board
+        # k times, so the average board width IS the kernel's VPU cost:
+        # 9025 -> 4884 expected lanes (1.85x) on that cloud. Two
+        # predicated launches over the same grid; each tile's body
+        # executes in exactly one.
+        cls = (jnp.max(end_9 - w0_9, axis=1) <= small).astype(jnp.int32)
+        idx_s, negd_s = launch(small, 9, 1, w0_9, cls)
         idx_b, negd_b = launch(window, 9, 0, w0_9, cls)
         rows_small = jnp.repeat(cls, tile).astype(bool)[:, None]
         out_idx = jnp.where(rows_small, idx_s, idx_b)

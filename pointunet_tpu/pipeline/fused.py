@@ -47,6 +47,7 @@ class FusedPointUnet:
         volume_shape=(240, 240, 155),   # (X, Y, Z)
         roi_shape=None,                 # (X, Y, Z) static brain-ROI crop
         att_downscale: int = 1,         # run saliency at 1/s resolution
+        mask_dilate: int = 0,           # dilate the salient mask (voxels)
     ):
         """roi_shape: optional static (rx, ry, rz) brain-region crop for the
         attention stage. The reference never runs attention on the full
@@ -73,13 +74,24 @@ class FusedPointUnet:
         spatial-size-independent, so full-res-trained checkpoints transfer
         unchanged; the generalization of the `sa_gate_stride` precedent
         (config.py), gated by the same paired full-contract Dice A/B
-        (bench.py --preset accuracy --att_downscale 2)."""
+        (bench.py --preset accuracy --att_downscale 2).
+
+        mask_dilate: grow the thresholded salient mask by d voxels
+        (separable max-pool over the probability map before
+        thresholding). The r4 full-contract A/B measured att_downscale=2
+        alone at -0.0125 mean Dice: the coarse probability map misses
+        thin tumor-boundary voxels, and an unsampled tumor voxel
+        scatters back as background. Dilation re-admits the boundary
+        into the sampled set (the budget has slack: salient counts stay
+        well under num_points) for three 1-D max-pool passes, ~nothing
+        at the volume sizes here."""
         self.scfg = saliency_config
         self.pcfg = pointseg_config
         self.threshold = threshold
         self.volume_shape = tuple(volume_shape)
         self.roi_shape = None if roi_shape is None else tuple(roi_shape)
         self.att_downscale = int(att_downscale)
+        self.mask_dilate = int(mask_dilate)
         s = self.att_downscale
         x, y, z = self.volume_shape
         if self.roi_shape is not None:
@@ -131,6 +143,15 @@ class FusedPointUnet:
             probs = jax.nn.softmax(logits, axis=-1)[..., 1]
             if s > 1:
                 probs = jax.image.resize(probs, (zp, yp, xp), "trilinear")
+            if self.mask_dilate > 0:
+                d = 2 * self.mask_dilate + 1
+                for ax in range(3):
+                    win = [1, 1, 1]
+                    win[ax] = d
+                    probs = jax.lax.reduce_window(
+                        probs, -jnp.inf, jax.lax.max,
+                        tuple(win), (1, 1, 1), "SAME",
+                    )
             probs = probs[:rz, :ry, :rx]
             mask_roi = jnp.transpose(probs, (2, 1, 0)) >= threshold
             if self.roi_shape is None:

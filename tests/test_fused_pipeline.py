@@ -224,3 +224,40 @@ def test_select_top_scores_matches_topk():
         got = np.asarray(_select_top_scores(score, s_cnt, bg_cnt, n))
         _, want = jax.lax.top_k(score, n)
         np.testing.assert_array_equal(got, np.asarray(want), err_msg=case)
+
+
+def test_fused_pipeline_mask_dilate(rng):
+    """mask_dilate must equal a box binary-dilation of the undilated
+    mask: max-pool(probs) >= t  ==  dilate(probs >= t) for max windows.
+    Volume (32, 32, 16) pads to exactly (16, 32, 32) (no padding), so
+    there is no edge bleed and the equivalence is exact."""
+    scfg = brats_saliency_config(base_filter=4)
+    pcfg = brats_pointseg_config(num_points=1024, k_n=8)
+    k = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(k, scfg)
+    pmodel, pvars = init_randlanet(k, pcfg, num_points=1024)
+    common = (smodel, svars, pmodel, pvars, scfg, pcfg)
+    plain = FusedPointUnet(
+        *common, threshold=0.5, volume_shape=(32, 32, 16)
+    )
+    dil = FusedPointUnet(
+        *common, threshold=0.5, volume_shape=(32, 32, 16), mask_dilate=1
+    )
+    mods = rng.standard_normal((4, 32, 32, 16)).astype(np.float32)
+    a = np.asarray(plain._attention_mask(jnp.asarray(mods)))
+    b = np.asarray(dil._attention_mask(jnp.asarray(mods)))
+
+    # numpy 3x3x3 box dilation of `a`
+    want = np.zeros_like(a)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                sx = slice(max(dx, 0), a.shape[0] + min(dx, 0))
+                tx = slice(max(-dx, 0), a.shape[0] + min(-dx, 0))
+                sy = slice(max(dy, 0), a.shape[1] + min(dy, 0))
+                ty = slice(max(-dy, 0), a.shape[1] + min(-dy, 0))
+                sz = slice(max(dz, 0), a.shape[2] + min(dz, 0))
+                tz = slice(max(-dz, 0), a.shape[2] + min(-dz, 0))
+                want[tx, ty, tz] |= a[sx, sy, sz]
+    assert a.sum() > 0, "degenerate test: empty undilated mask"
+    np.testing.assert_array_equal(b, want)
