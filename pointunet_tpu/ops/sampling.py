@@ -31,70 +31,16 @@ class DeviceCloud(NamedTuple):
     xyz_origin: jax.Array   # (N, 3) int32 voxel coords
 
 
-def _select_top_scores(
-    score: jax.Array,       # (nvox,) the banded priority scores
-    s_cnt: jax.Array,       # () number of salient voxels (score in (3,4))
-    bg_cnt: jax.Array,      # () number of nonzero background ((1,2))
-    num_points: int,
-) -> jax.Array:
-    """Exact descending top-``num_points`` indices of ``score`` — the
-    same ids in the same order as ``lax.top_k(score, num_points)[1]`` —
-    via a band-threshold prefilter.
-
-    XLA:TPU lowers large-k TopK through a bitonic sort: at the BraTS
-    contract (365k of 8.9M) the cost model charges ~26 GB of HBM traffic
-    and the stage measures ~55 ms. But the sampler's scores are BANDED by
-    construction (uniform noise + {0,1,2} category offsets: salient in
-    (3,4), nonzero background in (1,2), empty in (0,1)), so the k-th
-    order statistic is known to sit in a specific band at a predictable
-    quantile. A closed-form threshold keeps ~num_points + slack
-    candidates (count is Binomial with sigma ~ sqrt(k) ~ 600 — the
-    2*slack cap is ~100 sigma from both tails), a cumsum-compaction
-    packs them into a (cap,) buffer, and one SMALL exact top_k finishes.
-    ~8 linear passes over the volume instead of a multi-million-row
-    bitonic sort. Scores are f32-distinct with probability 1 (uniform
-    noise), so the selected set and the descending order are bit-stable
-    across both formulations.
-    """
-    nvox = score.shape[0]
-    slack = 32_768 if num_points >= 65_536 else max(num_points // 4, 256)
-    cap = num_points + 2 * slack
-    if cap * 4 >= nvox:
-        # small volumes (tests, tiny presets): the sort is already cheap
-        _, sel = jax.lax.top_k(score, num_points)
-        return sel
-
-    npf = float(num_points)
-    sl = float(slack)
-    s_f = s_cnt.astype(jnp.float32)
-    bg_f = bg_cnt.astype(jnp.float32)
-    e_f = float(nvox) - s_f - bg_f
-    # per-band keep fraction so the expected candidate count is
-    # num_points + slack; clip keeps the whole band when it is smaller
-    fr_sal = jnp.clip((npf + sl) / jnp.maximum(s_f, 1.0), 0.0, 1.0)
-    fr_bg = jnp.clip((npf - s_f + sl) / jnp.maximum(bg_f, 1.0), 0.0, 1.0)
-    fr_emp = jnp.clip(
-        (npf - s_f - bg_f + sl) / jnp.maximum(e_f, 1.0), 0.0, 1.0
-    )
-    t = jnp.where(
-        s_f >= npf,
-        3.0 + (1.0 - fr_sal),
-        jnp.where(s_f + bg_f >= npf, 1.0 + (1.0 - fr_bg), 1.0 - fr_emp),
-    )
-
-    cand = score >= t
-    pos = jnp.cumsum(cand.astype(jnp.int32)) - 1
-    write = jnp.where(cand & (pos < cap), pos, cap)   # overflow -> slot cap
-    buf_score = (
-        jnp.full((cap + 1,), -jnp.inf, jnp.float32).at[write].set(score)
-    )
-    buf_idx = (
-        jnp.zeros((cap + 1,), jnp.int32)
-        .at[write]
-        .set(jnp.arange(nvox, dtype=jnp.int32))
-    )
-    _, top_i = jax.lax.top_k(buf_score[:cap], num_points)
-    return buf_idx[:cap][top_i]
+# r4 NEGATIVE RESULT, kept as a record: a band-threshold prefilter for
+# the top-k below (closed-form per-band quantile threshold -> cumsum
+# compaction -> small exact top_k; bit-identical selection, verified on
+# CPU) measured ~1.5-2.5x SLOWER on v5e than the large-k lax.top_k it
+# replaced: the compaction needs two nvox-row scatters, and XLA:TPU
+# scatter runs at ~66 ns/row (the same lesson ops/scatter_sorted.py
+# exists for) — ~0.6 s of scatter to save ~26 GB of bitonic-sort
+# traffic. Gather-based compaction (searchsorted over the cumsum) prices
+# at ~24 gather rounds x cap rows — no better than the sort. The sort
+# stays.
 
 
 @functools.partial(jax.jit, static_argnames=("num_points",))
@@ -117,11 +63,7 @@ def sample_cloud_device(
         + 2.0 * salient.astype(jnp.float32)
         + nonzero.astype(jnp.float32)
     )
-    n_sal = jnp.sum(salient.astype(jnp.int32))
-    n_nz = jnp.sum(nonzero.astype(jnp.int32))
-    sel = _select_top_scores(
-        score, n_sal, n_nz - n_sal, num_points
-    )                                                  # (N,) flat ids
+    _, sel = jax.lax.top_k(score, num_points)          # (N,) flat ids
     # top_k is score-sorted (salient first); shuffle so the prefix-slice
     # decimation downstream is an unbiased random subsample
     sel = jax.random.permutation(shuffle_key, sel)

@@ -194,38 +194,6 @@ def test_fused_pipeline_att_downscale(rng):
     assert set(np.unique(labels)) <= {0, 1, 2, 4}
 
 
-def test_select_top_scores_matches_topk():
-    """The band-threshold selection (ops/sampling._select_top_scores)
-    must return the SAME ids in the SAME descending-score order as
-    lax.top_k over the full score vector, in every band regime: salient
-    overflow (S >= N), the normal fill-from-background case, and the
-    tiny-volume case (S + Bg < N, empties needed). Sizes chosen so the
-    threshold path (cap*4 < nvox) actually runs."""
-    from pointunet_tpu.ops.sampling import _select_top_scores
-
-    nvox = 60 * 60 * 60
-    n = 2048
-    for case, (p_sal, p_bg) in {
-        "salient_overflow": (0.05, 0.5),    # S ~ 10k >= n
-        "fill_background": (0.002, 0.4),    # S ~ 430 < n, plenty bg
-        "mostly_empty": (0.0, 0.004),       # S + Bg ~ 860 < n
-    }.items():
-        k = jax.random.PRNGKey(hash(case) % (2**31))
-        k1, k2, k3 = jax.random.split(k, 3)
-        salient = jax.random.uniform(k1, (nvox,)) < p_sal
-        nonzero = salient | (jax.random.uniform(k2, (nvox,)) < p_bg)
-        score = (
-            jax.random.uniform(k3, (nvox,), jnp.float32)
-            + 2.0 * salient.astype(jnp.float32)
-            + nonzero.astype(jnp.float32)
-        )
-        s_cnt = jnp.sum(salient.astype(jnp.int32))
-        bg_cnt = jnp.sum(nonzero.astype(jnp.int32)) - s_cnt
-        got = np.asarray(_select_top_scores(score, s_cnt, bg_cnt, n))
-        _, want = jax.lax.top_k(score, n)
-        np.testing.assert_array_equal(got, np.asarray(want), err_msg=case)
-
-
 def test_fused_pipeline_mask_dilate(rng):
     """mask_dilate must equal a box binary-dilation of the undilated
     mask: max-pool(probs) >= t  ==  dilate(probs >= t) for max windows.
