@@ -413,9 +413,10 @@ def knn_pallas(
     bound. Measured on-chip at 365k (all-voxel tumor + subsampled
     background): tie-aware recall 0.9978 overall / 1.0000 in the dense
     tumor region — slack 2.0 truncated dense-region windows (tumor recall
-    0.989). Sparse tiles take the exact-extent 3-window path (no slack
-    involved). See tests/test_tpu_kernels.py +
-    docs/TPU_KERNEL_VALIDATION.md."""
+    0.989). Tiles are routed by measured candidate density onto one of
+    two 9-window boards differing only in width: sparse tiles (widest
+    exact window <= 512 rows) run the narrow board, dense tiles the full
+    width. See tests/test_tpu_kernels.py + docs/TPU_KERNEL_VALIDATION.md."""
     if jax.default_backend() != "tpu":
         return knn_cell_window(support, query, k, alpha=alpha, slack=slack)
     support = support.astype(jnp.float32)

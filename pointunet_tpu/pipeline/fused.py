@@ -92,6 +92,14 @@ class FusedPointUnet:
         self.roi_shape = None if roi_shape is None else tuple(roi_shape)
         self.att_downscale = int(att_downscale)
         self.mask_dilate = int(mask_dilate)
+        if self.att_downscale < 1:
+            raise ValueError(
+                f"att_downscale must be >= 1, got {self.att_downscale}"
+            )
+        if self.mask_dilate < 0:
+            raise ValueError(
+                f"mask_dilate must be >= 0, got {self.mask_dilate}"
+            )
         s = self.att_downscale
         x, y, z = self.volume_shape
         if self.roi_shape is not None:
@@ -269,13 +277,18 @@ class FusedPointUnet:
             self._batched_fn = jax.jit(_mapped)
             self._sharded_fns = {}
         if mesh is not None:
-            from functools import partial
-
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.mesh import batch_sharding
 
-            key_m = id(mesh)
+            # stable cache key: equivalent Mesh objects constructed per
+            # call must hit the same compiled fn (id() would recompile
+            # and pin every mesh alive)
+            key_m = (
+                tuple(mesh.axis_names),
+                mesh.devices.shape,
+                tuple(d.id for d in mesh.devices.flat),
+            )
             if key_m not in self._sharded_fns:
                 axes = tuple(mesh.axis_names)
                 spec = P(axes[0])

@@ -30,6 +30,19 @@ def largest_components(mask: np.ndarray, keep: int = 2, min_ratio: float = 0.1):
     return out
 
 
+def postprocess_pancreas(labels: np.ndarray) -> np.ndarray:
+    """Binary CT cleanup: fill holes, keep the largest component.
+
+    The reference applies NO pancreas postprocessing (its
+    utils/genSegmentationPancreas.py is a plain argmax->nii writer);
+    this is the CT analog of the BraTS cleanup below — the pancreas is
+    one connected organ, so scattered false-positive islands are pure
+    HD95 damage and can be dropped without touching the main mass.
+    """
+    mask = largest_components(np.asarray(labels) > 0, keep=1)
+    return fill_holes(mask).astype(np.uint8)
+
+
 def postprocess_brats(labels: np.ndarray, et_min_voxels: int = 100) -> np.ndarray:
     """Full BraTS cleanup on a label volume with original labels {0,1,2,4}."""
     labels = np.asarray(labels).copy()

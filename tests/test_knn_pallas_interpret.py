@@ -54,9 +54,10 @@ def test_kernel_interpret_recall_voxel_cloud(rng, k):
 
 def test_kernel_interpret_density_split(rng):
     """Dual-launch path: a mixed dense-blob + sparse-background cloud at
-    nt >= 8 and window > 512 exercises BOTH predicated kernels (the 3-DMA
-    group window for sparse tiles, the 9-window board for dense ones) and
-    the per-tile class routing (ops/knn_pallas.py::_knn_pallas_impl)."""
+    nt >= 8 and window > 512 exercises BOTH predicated kernels (the
+    narrow 9-window board for sparse tiles, the full-width board for
+    dense ones) and the per-tile class routing
+    (ops/knn_pallas.py::_knn_pallas_impl)."""
     k = 8
     dense = rng.integers(0, 4, (400, 3)).astype(np.float32) + 30.0
     bg = rng.integers(0, 64, (880, 3)).astype(np.float32)
