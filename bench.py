@@ -629,12 +629,12 @@ def bench_accuracy_pancreas(args) -> dict:
             v["batch_stats"] = state.batch_stats
         return v
 
-    def eval_pipe(att_downscale=1, mask_dilate=0):
+    def eval_pipe(att_downscale=1, mask_dilate=0, mask_band=0):
         pipe = FusedPointUnet(
             strainer.model, to_vars(sstate), ptrainer.model,
             to_vars(pstate), scfg, pcfg, threshold=0.5,
             volume_shape=shape, att_downscale=att_downscale,
-            mask_dilate=mask_dilate,
+            mask_dilate=mask_dilate, mask_band=mask_band,
         )
         warm = jax.device_put(jnp.asarray(test_vols[0][0], jnp.float32))
         jax.block_until_ready(
@@ -708,6 +708,18 @@ def bench_accuracy_pancreas(args) -> dict:
             "hd95": round(float(np.mean(dhd95s)), 2),
             "postprocessed": dpost,
             "latency_ms_median": round(float(np.median(dlat)), 1),
+        }
+        bdices, bhd95s, blat, bpost = eval_pipe(
+            att_downscale=args.att_downscale, mask_band=4,
+        )
+        out_pan["downscale_band_ab"] = {
+            "att_downscale": int(args.att_downscale),
+            "mask_band": 4,
+            "band_threshold": 0.125,
+            "dice": round(float(np.mean(bdices)), 4),
+            "hd95": round(float(np.mean(bhd95s)), 2),
+            "postprocessed": bpost,
+            "latency_ms_median": round(float(np.median(blat)), 1),
         }
     return out_pan
 
@@ -833,7 +845,8 @@ def bench_accuracy(args) -> dict:
             v["batch_stats"] = state.batch_stats
         return v
 
-    def eval_pipe(smodel, seval_cfg, att_downscale=1, mask_dilate=0):
+    def eval_pipe(smodel, seval_cfg, att_downscale=1, mask_dilate=0,
+                  mask_band=0):
         pipe = FusedPointUnet(
             smodel, to_vars(sstate), ptrainer.model, to_vars(pstate),
             seval_cfg, pcfg, threshold=0.5, volume_shape=shape,
@@ -843,6 +856,7 @@ def bench_accuracy(args) -> dict:
             roi_shape=roi,
             att_downscale=att_downscale,
             mask_dilate=mask_dilate,
+            mask_band=mask_band,
         )
         # warm the pipeline programs once so the timed loop measures
         # steady state, not the first-call XLA compiles
@@ -993,6 +1007,27 @@ def bench_accuracy(args) -> dict:
             "hd95_tc": round(dhd["TC"], 2),
             "hd95_et": round(dhd["ET"], 2),
             "latency_ms_median": round(dlat, 1),
+        }
+        # the r5 boundary-band rescue (VERDICT r4 item 3): core keeps
+        # guaranteed admission, a generous geometric + low-confidence
+        # band fills only the budget slack (pipeline/fused.py mask_band)
+        bwt, btc, bet_, blat, bhd, bpost = eval_pipe(
+            strainer.model, scfg, att_downscale=args.att_downscale,
+            mask_band=4,
+        )
+        out["downscale_band_ab"] = {
+            "postprocessed": bpost,
+            "att_downscale": int(args.att_downscale),
+            "mask_band": 4,
+            "band_threshold": 0.125,
+            "dice_mean": round(float(np.mean([bwt, btc, bet_])), 4),
+            "dice_wt": round(bwt, 4),
+            "dice_tc": round(btc, 4),
+            "dice_et": round(bet_, 4),
+            "hd95_wt": round(bhd["WT"], 2),
+            "hd95_tc": round(bhd["TC"], 2),
+            "hd95_et": round(bhd["ET"], 2),
+            "latency_ms_median": round(blat, 1),
         }
     return out
 

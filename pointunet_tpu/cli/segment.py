@@ -119,6 +119,15 @@ def main(argv=None):
                              "on the --fast path (the mask only guides "
                              "point sampling; pipeline/fused.py). Gated by "
                              "the paired Dice A/B in the accuracy preset")
+    parser.add_argument("--mask_band", type=int, default=None,
+                        help="boundary-band width for the downscaled fast "
+                             "path: a second sampling tier that spends only "
+                             "budget slack (pipeline/fused.py mask_band); "
+                             "default: 4 when --att_downscale > 1")
+    parser.add_argument("--mask_dilate", type=int, default=None,
+                        help="isotropic mask dilation (the r4 recovery "
+                             "mode; superseded by --mask_band, kept for "
+                             "A/B); mutually exclusive with --mask_band")
     args = parser.parse_args(argv)
 
     pipeline = build_pipeline(args)
@@ -146,11 +155,16 @@ def main(argv=None):
                     volume_shape=mods.shape[1:],
                     roi_shape=args.roi,
                     att_downscale=getattr(args, "att_downscale", 1),
-                    # pair the downscale with boundary dilation (see
-                    # pipeline/fused.py mask_dilate + the accuracy A/B)
-                    mask_dilate=(
-                        args.att_downscale
-                        if getattr(args, "att_downscale", 1) > 1 else 0
+                    # pair the downscale with the boundary BAND by
+                    # default (pipeline/fused.py mask_band: slack-only
+                    # second sampling tier; the r4 dilation mode stays
+                    # reachable via --mask_dilate for A/B)
+                    mask_dilate=args.mask_dilate or 0,
+                    mask_band=(
+                        args.mask_band
+                        if args.mask_band is not None
+                        else (4 if args.att_downscale > 1
+                              and not args.mask_dilate else 0)
                     ),
                 )
             labels = fast_pipe.segment_volume(

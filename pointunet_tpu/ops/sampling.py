@@ -5,15 +5,25 @@ runBraTS.py:105-110): keep ALL salient voxels, fill the fixed budget with
 random background voxels, never pick empty voxels unless the volume is
 smaller than the budget. One top-k over randomized priority scores:
 
+  score(v) = U(0,1) + 2 * min(mask(v), 2) * [nonzero] + 1 * [nonzero]
+
+For the reference's binary mask this is exactly
+
   score(v) = U(0,1) + 2 * [salient & nonzero] + 1 * [nonzero]
 
 so the descending top-``num_points`` selects salient voxels first (randomly
 subsampled if they exceed the budget — the documented clamp), then random
-background. The selected indices are then explicitly permuted (reference
-DP.shuffle_idx, runBraTS.py:114): top_k returns score-sorted order
-(salient first), and the pyramid's prefix-slice decimation would otherwise
-keep only salient points at coarse levels — the coarse encoder would never
-see background context.
+background. The mask may also be GRADED with value 2 marking core-salient
+voxels and 1 a lower-priority band (pipeline/fused.py mask_band: the
+boundary band around a coarse fast-mode mask): cores land in [5, 6), band
+in [3, 4), background in [1, 2), empty in [0, 1) — every core voxel is
+admitted before any band voxel, and the band consumes only the budget
+slack instead of competing with the core (the measured failure of
+isotropic dilation, docs/ATTENTION_STAGE.md). The selected indices are
+then explicitly permuted (reference DP.shuffle_idx, runBraTS.py:114):
+top_k returns score-sorted order (salient first), and the pyramid's
+prefix-slice decimation would otherwise keep only salient points at
+coarse levels — the coarse encoder would never see background context.
 """
 from __future__ import annotations
 
@@ -55,12 +65,17 @@ def sample_cloud_device(
     nvox = x * y * z
     flat_mods = modalities.reshape(c, nvox).T          # (nvox, C)
     nonzero = jnp.any(flat_mods != 0, axis=1)
-    salient = (mask.reshape(nvox) > 0) & nonzero
+    # graded tier in {0, 1, 2}: a bool/binary mask gives tier 1 -> +2,
+    # bit-identical to the old 2 * [salient] scoring; a graded mask's
+    # core voxels (value 2) outrank the band (value 1) by a full tier
+    tier = jnp.clip(
+        mask.reshape(nvox).astype(jnp.float32), 0.0, 2.0
+    ) * nonzero.astype(jnp.float32)
 
     score_key, shuffle_key = jax.random.split(key)
     score = (
         jax.random.uniform(score_key, (nvox,), jnp.float32)
-        + 2.0 * salient.astype(jnp.float32)
+        + 2.0 * tier
         + nonzero.astype(jnp.float32)
     )
     _, sel = jax.lax.top_k(score, num_points)          # (N,) flat ids

@@ -48,6 +48,8 @@ class FusedPointUnet:
         roi_shape=None,                 # (X, Y, Z) static brain-ROI crop
         att_downscale: int = 1,         # run saliency at 1/s resolution
         mask_dilate: int = 0,           # dilate the salient mask (voxels)
+        mask_band: int = 0,             # boundary-band width (voxels)
+        band_threshold: float | None = None,
     ):
         """roi_shape: optional static (rx, ry, rz) brain-region crop for the
         attention stage. The reference never runs attention on the full
@@ -84,7 +86,23 @@ class FusedPointUnet:
         scatters back as background. Dilation re-admits the boundary
         into the sampled set (the budget has slack: salient counts stay
         well under num_points) for three 1-D max-pool passes, ~nothing
-        at the volume sizes here."""
+        at the volume sizes here — but measured in r4 it did NOT recover
+        the gap (docs/ATTENTION_STAGE.md).
+
+        mask_band (mutually exclusive with mask_dilate): instead of
+        growing the core mask, mark a SECOND sampling tier
+        (ops/sampling.py graded mask) that only consumes budget slack —
+        core voxels always outrank it. The band is the union of (a) the
+        geometric edge band: core dilated by ``mask_band`` voxels minus
+        core, and (b) the LOW-CONFIDENCE band: voxels whose coarse
+        probability reaches ``band_threshold`` (default threshold / 4)
+        but not ``threshold`` — the voxels a downscaled probability map
+        endangers are exactly those whose coarse prob was diluted below
+        the cut by s^3 pooling, and those can lie anywhere a structure
+        is thin, not just within d voxels of the detected core
+        (dilation's failure mode). Because the band is a lower tier the
+        width can be generous without ever displacing core-salient
+        voxels."""
         self.scfg = saliency_config
         self.pcfg = pointseg_config
         self.threshold = threshold
@@ -100,6 +118,19 @@ class FusedPointUnet:
             raise ValueError(
                 f"mask_dilate must be >= 0, got {self.mask_dilate}"
             )
+        self.mask_band = int(mask_band)
+        if self.mask_band < 0:
+            raise ValueError(
+                f"mask_band must be >= 0, got {self.mask_band}"
+            )
+        if self.mask_band > 0 and self.mask_dilate > 0:
+            raise ValueError(
+                "mask_band and mask_dilate are mutually exclusive "
+                "boundary-recovery modes"
+            )
+        self.band_threshold = (
+            threshold / 4.0 if band_threshold is None else float(band_threshold)
+        )
         s = self.att_downscale
         x, y, z = self.volume_shape
         if self.roi_shape is not None:
@@ -151,15 +182,37 @@ class FusedPointUnet:
             probs = jax.nn.softmax(logits, axis=-1)[..., 1]
             if s > 1:
                 probs = jax.image.resize(probs, (zp, yp, xp), "trilinear")
-            if self.mask_dilate > 0:
-                d = 2 * self.mask_dilate + 1
+            def _maxpool3(p, width):
+                d = 2 * width + 1
                 for ax in range(3):
                     win = [1, 1, 1]
                     win[ax] = d
-                    probs = jax.lax.reduce_window(
-                        probs, -jnp.inf, jax.lax.max,
+                    p = jax.lax.reduce_window(
+                        p, -jnp.inf, jax.lax.max,
                         tuple(win), (1, 1, 1), "SAME",
                     )
+                return p
+
+            if self.mask_dilate > 0:
+                probs = _maxpool3(probs, self.mask_dilate)
+            if self.mask_band > 0:
+                # graded mask (ops/sampling.py): core = 2, band = 1.
+                # band = (geometric edge band) | (low-confidence band),
+                # both from the SAME resized coarse probability map
+                core = probs >= threshold
+                band = (
+                    (_maxpool3(probs, self.mask_band) >= threshold)
+                    | (probs >= self.band_threshold)
+                ) & ~core
+                graded = (
+                    2 * core.astype(jnp.uint8) + band.astype(jnp.uint8)
+                )[:rz, :ry, :rx]
+                mask_roi = jnp.transpose(graded, (2, 1, 0))
+                if self.roi_shape is None:
+                    return mask_roi
+                return jax.lax.dynamic_update_slice(
+                    jnp.zeros((x, y, z), jnp.uint8), mask_roi, (sx, sy, sz)
+                )
             probs = probs[:rz, :ry, :rx]
             mask_roi = jnp.transpose(probs, (2, 1, 0)) >= threshold
             if self.roi_shape is None:

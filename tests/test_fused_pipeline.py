@@ -54,6 +54,60 @@ def test_sample_cloud_device_oversubscribed_salient(rng):
     assert len(np.unique(origin, axis=0)) == 64
 
 
+def test_sample_cloud_device_graded_tiers(rng):
+    """Graded mask {0,1,2}: every core voxel admitted before any band
+    voxel; band fills the remaining slack before plain background."""
+    mods = np.ones((1, 16, 16, 8), np.float32)
+    mask = np.zeros((16, 16, 8), np.uint8)
+    mask[2:10, 2:10, 2:6] = 2                      # 256 core voxels
+    mask[10:14, 2:10, 2:6] = 1                     # 128 band voxels
+    # budget below core+band: ALL 256 core kept, band randomly subsampled
+    cloud = sample_cloud_device(
+        jnp.asarray(mods), jnp.asarray(mask), jax.random.PRNGKey(2),
+        num_points=320,
+    )
+    o = np.asarray(cloud.xyz_origin)
+    tiers = mask[o[:, 0], o[:, 1], o[:, 2]]
+    assert (tiers == 2).sum() == 256               # full core
+    assert (tiers == 1).sum() == 64                # slack goes to band
+    assert (tiers == 0).sum() == 0
+    # budget above core+band: all of both, remainder random background
+    cloud = sample_cloud_device(
+        jnp.asarray(mods), jnp.asarray(mask), jax.random.PRNGKey(3),
+        num_points=512,
+    )
+    o = np.asarray(cloud.xyz_origin)
+    tiers = mask[o[:, 0], o[:, 1], o[:, 2]]
+    assert (tiers == 2).sum() == 256 and (tiers == 1).sum() == 128
+    assert (tiers == 0).sum() == 128
+
+
+def test_fused_pipeline_band_mask_graded(rng):
+    """mask_band > 0 produces a graded uint8 attention mask with the band
+    strictly around/below the core tier, and the pipeline still runs."""
+    scfg = brats_saliency_config(base_filter=4)
+    pcfg = brats_pointseg_config(num_points=2048, k_n=8)
+    k = jax.random.PRNGKey(0)
+    smodel, svars = init_saliency_unet(k, scfg)
+    pmodel, pvars = init_randlanet(k, pcfg, num_points=2048)
+    pipe = FusedPointUnet(
+        smodel, svars, pmodel, pvars, scfg, pcfg,
+        threshold=0.5, volume_shape=(32, 32, 16),
+        att_downscale=2, mask_band=2,
+    )
+    mods = rng.standard_normal((4, 32, 32, 16)).astype(np.float32)
+    mask = np.asarray(pipe._attention_mask(jnp.asarray(mods)))
+    assert mask.dtype == np.uint8 and set(np.unique(mask)) <= {0, 1, 2}
+    labels = pipe.segment_volume(mods)
+    assert labels.shape == (32, 32, 16)
+    # mutually exclusive with dilation
+    with pytest.raises(ValueError):
+        FusedPointUnet(
+            smodel, svars, pmodel, pvars, scfg, pcfg,
+            volume_shape=(32, 32, 16), mask_band=2, mask_dilate=2,
+        )
+
+
 def test_fused_pipeline_tiny(rng):
     scfg = brats_saliency_config(base_filter=4)
     pcfg = brats_pointseg_config(num_points=2048, k_n=8)
