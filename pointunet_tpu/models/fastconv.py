@@ -45,7 +45,9 @@ def _triple(v, n=3):
 
 def _decomposition_mode() -> str:
     """Which kernels to decompose: "all", "fold1" (only kernels with a
-    size-1 axis — zero shift/sum overhead), or "off".
+    size-1 axis — zero shift/sum overhead), "pallas" (route eligible
+    3x3x3 convs through the fused VMEM-resident tap kernel,
+    ops/conv_pallas.py), or "off".
 
     XLA:CPU compiles the expansion pathologically slowly (minutes per
     model) with no runtime benefit, so anything but TPU is "off".
@@ -57,7 +59,7 @@ def _decomposition_mode() -> str:
         return "all"
     if force in ("off", "0"):
         return "off"
-    if force in ("fold1", "k9"):
+    if force in ("fold1", "k9", "pallas"):
         return force
     return "all" if jax.default_backend() == "tpu" else "off"
 
@@ -258,6 +260,20 @@ class FastConv(nn.Module):
             x = _nearest_upsample(x, self.upsample)
 
         mode = _decomposition_mode()
+        if (
+            mode == "pallas"
+            and kernel_size == (3, 3, 3)
+            and strides == (1, 1, 1)
+            and dilation == (1, 1, 1)
+            and self.padding == "SAME"
+            and jax.default_backend() == "tpu"
+        ):
+            from ..ops.conv_pallas import conv3d_3x3_pallas_batched
+
+            y = conv3d_3x3_pallas_batched(x, kernel)
+            if bias is not None:
+                y = y + bias
+            return jax.lax.optimization_barrier(y)
         fold = _decomposable(kernel_size)
         if mode == "fold1" and fold is not None and kernel_size[fold] != 1:
             fold = None
