@@ -57,12 +57,17 @@ def main():
         t_fast = timed(lambda a, b: fast_conv3d(a[None], b, 0)[0], x, w)
         t_pallas = timed(conv3d_3x3_pallas, x, w)
 
-        # correctness spot-check on-chip (bf16 tolerance)
-        ref = fast_conv3d(x[None].astype(jnp.float32),
+        # correctness spot-check on-chip at a REDUCED spatial shape (the
+        # full-shape f32 reference plus the timed jits' buffers exceeds
+        # HBM when several 128-channel shapes run back to back)
+        xs_ = x[:16, :24]
+        ref = fast_conv3d(xs_[None].astype(jnp.float32),
                           w.astype(jnp.float32), 0)[0]
-        got = conv3d_3x3_pallas(x, w).astype(jnp.float32)
+        got = conv3d_3x3_pallas(xs_, w).astype(jnp.float32)
         err = float(jnp.max(jnp.abs(got - ref))
                     / (jnp.max(jnp.abs(ref)) + 1e-9))
+        del ref, got, x, w
+        jax.clear_caches()
         flop = 2 * z * y * xw * 27 * cin * cout
         out[label] = {
             "xla_native_ms": round(t_native, 2),

@@ -37,24 +37,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel_factory(bz: int, by: int, w_full: int, cin: int, cout: int,
-                    out_dtype):
-    def kernel(xp_ref, w_ref, out_ref, xbuf, acc, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            xp_ref.at[pl.ds(i * bz, bz + 2), pl.ds(j * by, by + 2)],
-            xbuf,
-            sem,
-        )
-        cp.start()
-        cp.wait()
+def _kernel_factory(bz: int, by: int, ny: int, total: int, w_full: int,
+                    cin: int, cout: int, out_dtype):
+    """1-D grid over (z-block, y-block) cells with double-buffered input
+    DMA: the copy for cell t+1 is in flight while cell t computes its 27
+    taps — without it the per-cell DMA round trip dominates (measured
+    84 ms for the c1 shape at the naive 2-D grid; the work per cell is
+    ~15 us of MXU time)."""
+
+    def kernel(xp_ref, w_ref, out_ref, xbuf, acc, sems):
+        t = pl.program_id(0)
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        def copy(cell, dest_slot):
+            i = cell // ny
+            j = cell % ny
+            return pltpu.make_async_copy(
+                xp_ref.at[pl.ds(i * bz, bz + 2), pl.ds(j * by, by + 2)],
+                xbuf.at[dest_slot],
+                sems.at[dest_slot],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            copy(t, slot).start()
+
+        @pl.when(t + 1 < total)
+        def _():
+            copy(t + 1, nxt).start()
+
+        copy(t, slot).wait()
         acc[...] = jnp.zeros_like(acc)
         for dz in range(3):
             for dy in range(3):
                 for dx in range(3):
                     xs = xbuf[
-                        dz:dz + bz, dy:dy + by, dx:dx + w_full, :
+                        slot, dz:dz + bz, dy:dy + by, dx:dx + w_full, :
                     ]
                     acc[...] += jax.lax.dot_general(
                         xs,
@@ -71,35 +90,49 @@ def _kernel_factory(bz: int, by: int, w_full: int, cin: int, cout: int,
 def conv3d_3x3_pallas(
     x: jax.Array,      # (Z, Y, X, Cin) channels-last
     w: jax.Array,      # (3, 3, 3, Cin, Cout)
-    bz: int = 4,
-    by: int = 8,
+    bz: int = 8,
+    by: int = 4,
 ) -> jax.Array:
     """SAME, stride-1 3x3x3 conv; f32 accumulation, output in x.dtype."""
     z, y, xw, cin = x.shape
     cout = w.shape[-1]
     zp = -z % bz
     yp = -y % by
-    xp = jnp.pad(x, ((1, 1 + zp), (1, 1 + yp), (1, 1), (0, 0)))
+    # Mosaic HBM slice tiling: the haloed DMA's second-minor extent must
+    # be 8-aligned and its lane (channel) extent a multiple of 128 — pad
+    # X so (xw + 2) rounds up to 8 (the extra zero columns sit past
+    # dx + xw, never read) and C up to 128 (zero channels contribute
+    # nothing to the taps; the padded read still prices far below the
+    # XLA conv paths this replaces)
+    xw2 = -(-(xw + 2) // 8) * 8
+    cin_p = -(-cin // 128) * 128
+    xp = jnp.pad(
+        x,
+        ((1, 1 + zp), (1, 1 + yp), (1, xw2 - xw - 1), (0, cin_p - cin)),
+    )
     nz, ny = (z + zp) // bz, (y + yp) // by
-    wf = w.reshape(27, cin, cout).astype(x.dtype)
+    wf = jnp.pad(
+        w.reshape(27, cin, cout), ((0, 0), (0, cin_p - cin), (0, 0))
+    ).astype(x.dtype)
 
+    total = nz * ny
     out = pl.pallas_call(
-        _kernel_factory(bz, by, xw, cin, cout, x.dtype),
-        grid=(nz, ny),
+        _kernel_factory(bz, by, ny, total, xw, cin_p, cout, x.dtype),
+        grid=(total,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((27, cin, cout), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((27, cin_p, cout), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bz, by, xw, cout), lambda i, j: (i, j, 0, 0),
+            (bz, by, xw, cout), lambda t: (t // ny, t % ny, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((z + zp, y + yp, xw, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bz + 2, by + 2, xw + 2, cin), x.dtype),
+            pltpu.VMEM((2, bz + 2, by + 2, xw2, cin_p), x.dtype),
             pltpu.VMEM((bz, by, xw, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, wf)
     return out[:z, :y]
