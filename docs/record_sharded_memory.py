@@ -77,10 +77,24 @@ def main():
     feats = jnp.zeros((1, N, 3 + cfg.num_features), jnp.float32)
     labels = jnp.zeros((1, N), jnp.int32)
 
+    import jax.tree_util as jtu
+
     def train_mem(trainer, xs, fs, ls, ctx):
         with ctx:
             pyr_c = trainer.pyramid_fn.lower(xs).compile()
-            pyr = trainer.pyramid_fn(xs)
+            # lower train_core from the compiled pyramid's OUTPUT
+            # SHARDINGS via abstract args instead of executing the 365k
+            # pyramid: on a single-core host the 8 virtual device threads
+            # cannot all reach XLA:CPU's collective rendezvous inside its
+            # hard-coded 40 s watchdog (serialized slab searches), and
+            # the memory analysis only needs shapes + shardings
+            pyr_shapes = jax.eval_shape(trainer.pyramid_fn, xs)
+            pyr = jtu.tree_map(
+                lambda s, sh: jax.ShapeDtypeStruct(
+                    s.shape, s.dtype, sharding=sh
+                ),
+                pyr_shapes, pyr_c.output_shardings,
+            )
             core_c = trainer._train_core.lower(
                 trainer.init_state(), pyr, fs, ls
             ).compile()

@@ -43,6 +43,27 @@ _CONV_INIT = nn.initializers.variance_scaling(
 _DENSE_INIT = nn.initializers.glorot_uniform()
 
 
+def _pshard(x, mesh):
+    """Constrain a (B, N, ...) activation to shard on the point axis.
+
+    GSPMD propagation through the forward/backward gathers is what makes
+    the TRAIN-step activations shard (SURVEY §5.7's end state): the
+    pyramid arrives point-sharded from ops/pyramid_sharded.py, but
+    without these anchors XLA is free to all-gather the (B, N, K, C)
+    LFA intermediates — the dominant train-core memory term at the 365k
+    contract (docs/SHARDED_PYRAMID_365K.json). No-op when ``mesh`` is
+    None (the single-device and data-parallel paths)."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, POINT_AXIS
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(DATA_AXIS, POINT_AXIS))
+    )
+
+
 class SharedMLP(nn.Module):
     """Dense + optional BatchNorm + leaky_relu(0.2).
 
@@ -106,6 +127,7 @@ class LocalFeatureAggregation(nn.Module):
     momentum: float = 0.99
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
+    point_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -121,12 +143,12 @@ class LocalFeatureAggregation(nn.Module):
         lo, span, r0, level = grid
 
         def gather(f, i):
-            return jnp.stack([
+            return _pshard(jnp.stack([
                 sorted_gather(
                     f[b], i[b], xyz[b], xyz[b], lo[b], span[b], r0, level
                 )
                 for b in range(f.shape[0])
-            ])
+            ]), self.point_mesh)
 
         # one combined [xyz | feature] gather: TPU gather cost is per ROW
         # (width-insensitive), so fusing the position and feature lookups
@@ -154,9 +176,9 @@ class LocalFeatureAggregation(nn.Module):
             neigh = gather(table, neigh_idx)             # (B,N,K,3+d/2)
             neigh_xyz = neigh[..., :3]
             f_neigh = neigh[..., 3:].astype(feature.dtype)
-        f_xyz = jax.vmap(encode_neighbor_xyz)(
+        f_xyz = _pshard(jax.vmap(encode_neighbor_xyz)(
             xyz, neigh_xyz
-        )                                                    # (B,N,K,10)
+        ), self.point_mesh)                                  # (B,N,K,10)
         f_xyz = SharedMLP(
             self.d_out // 2, momentum=self.momentum, dtype=self.dtype,
             axis_name=self.axis_name,
@@ -188,6 +210,7 @@ class DilatedResBlock(nn.Module):
     momentum: float = 0.99
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
+    point_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -199,7 +222,7 @@ class DilatedResBlock(nn.Module):
         )(feature, train)
         f_pc = LocalFeatureAggregation(
             self.d_out, momentum=self.momentum, dtype=self.dtype,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, point_mesh=self.point_mesh,
         )(xyz, f_pc, neigh_idx, grid, train)
         f_pc = SharedMLP(
             2 * self.d_out, activation=False, momentum=self.momentum,
@@ -257,6 +280,10 @@ class RandLANet(nn.Module):
 
     config: PointSegConfig
     axis_name: Optional[str] = None
+    # a jax.sharding.Mesh with (data, point) axes: anchor every per-level
+    # activation to the point axis so the GSPMD train step shards the
+    # forward/backward, not just the pyramid (SURVEY §5.7)
+    point_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -296,21 +323,24 @@ class RandLANet(nn.Module):
             dtype=dt,
             axis_name=ax if train else None,
         )(feature)
-        feature = nn.leaky_relu(feature, negative_slope=0.2)
+        feature = _pshard(
+            nn.leaky_relu(feature, negative_slope=0.2), self.point_mesh
+        )
 
         # Encoder
         skips = []
         for i in range(cfg.num_layers):
-            f_enc = DilatedResBlock(
-                cfg.d_out[i], momentum=cfg.bn_momentum, dtype=dt, axis_name=ax
+            f_enc = _pshard(DilatedResBlock(
+                cfg.d_out[i], momentum=cfg.bn_momentum, dtype=dt,
+                axis_name=ax, point_mesh=self.point_mesh,
             )(
                 pyramid.xyz[i], feature, pyramid.neigh_idx[i], grid(i),
                 train,
-            )
-            f_sampled = _max_pool(
+            ), self.point_mesh)
+            f_sampled = _pshard(_max_pool(
                 f_enc, pyramid.sub_idx[i], pyramid.xyz[i],
                 pyramid.xyz[i + 1], grid(i),
-            )
+            ), self.point_mesh)
             feature = f_sampled
             if i == 0:
                 skips.append(f_enc)
@@ -324,12 +354,14 @@ class RandLANet(nn.Module):
 
         # Decoder (reference RandLANet.py:136-143)
         for j in range(cfg.num_layers):
-            f_interp = _interp(feature, pyramid.interp_idx[-j - 1])
+            f_interp = _pshard(
+                _interp(feature, pyramid.interp_idx[-j - 1]), self.point_mesh
+            )
             f_cat = jnp.concatenate([skips[-j - 2], f_interp], axis=-1)
-            feature = SharedMLP(
+            feature = _pshard(SharedMLP(
                 skips[-j - 2].shape[-1], momentum=cfg.bn_momentum, dtype=dt,
                 axis_name=ax,
-            )(f_cat, train)
+            )(f_cat, train), self.point_mesh)
 
         # Head: fc1(64) -> fc2(32) -> dropout(0.5) -> fc(num_classes)
         x = SharedMLP(64, momentum=cfg.bn_momentum, dtype=dt, axis_name=ax)(

@@ -61,7 +61,19 @@ class PointSegTrainer:
         self.mesh = mesh
         self.point_shard_min = point_shard_min
         self.num_points = num_points or config.num_points
-        self.model = RandLANet(config)
+        from ..parallel.mesh import POINT_AXIS
+
+        point_sharded = (
+            mesh is not None
+            and POINT_AXIS in mesh.shape
+            and mesh.shape[POINT_AXIS] > 1
+        )
+        # under a point-sharded mesh the model anchors every per-level
+        # activation to the point axis (models/randlanet.py _pshard) so
+        # the forward/backward shards like the pyramid, not just the KNN
+        self.model = RandLANet(
+            config, point_mesh=mesh if point_sharded else None
+        )
         if self.tcfg.debug_nans:
             from ..core.debug import enable_nan_trap
 
@@ -148,14 +160,20 @@ class PointSegTrainer:
 
         self.pyramid_fn = jax.jit(pyramid_fn)
 
+        from ..models.randlanet import _pshard
+
+        pmesh = self.model.point_mesh
+
         def train_core(state: TrainState, pyramid, feats, labels):
             # align row-aligned inputs with the pyramid's cell-sorted
             # level-0 order (ops/pyramid.py sorted-pyramid contract); the
             # per-point loss/metrics are permutation-invariant
-            feats = jnp.take_along_axis(
+            feats = _pshard(jnp.take_along_axis(
                 feats, pyramid.order[..., None], axis=1
-            )
-            labels = jnp.take_along_axis(labels, pyramid.order, axis=1)
+            ), pmesh)
+            labels = _pshard(jnp.take_along_axis(
+                labels, pyramid.order, axis=1
+            ), pmesh)
             rng, dropout_rng = jax.random.split(state.rng)
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (loss, (batch_stats, acc)), grads = grad_fn(
