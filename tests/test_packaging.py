@@ -21,7 +21,8 @@ def _load_pyproject():
 def test_pyproject_parses_and_names_package():
     meta = _load_pyproject()
     assert meta["project"]["name"] == "pointunet-tpu"
-    assert "jax" in meta["project"]["dependencies"]
+    # jax>=0.8: shard_map/check_vma used unguarded (pipeline/fused.py)
+    assert any(d.startswith("jax>=") for d in meta["project"]["dependencies"])
 
 
 def test_console_script_targets_resolve():
