@@ -238,9 +238,10 @@ def bench_e2e(
         smodel, svars, pmodel, pvars, scfg, pcfg,
         roi_shape=(192, 208, 155),
         att_downscale=att_downscale,
-        # shipped pairing (see accuracy downscale_ab): dilation re-admits
-        # the boundary voxels the coarse probability map misses
-        mask_dilate=att_downscale if att_downscale > 1 else 0,
+        # r5 shipped pairing = the boundary BAND (accuracy
+        # downscale_band_ab: raw Dice ties dilation, postprocessed
+        # +0.004, ET HD95 6.7 -> 2.4), matching segment --fast's default
+        mask_band=4 if att_downscale > 1 else 0,
     )
 
     key = jax.random.PRNGKey(1)
@@ -267,8 +268,9 @@ def bench_e2e_pancreas(repeats: int) -> dict:
     dynamic per-case in the reference (nii header); the bench uses a
     representative static (256, 256, 160) — NIH Pancreas-CT 512x512 at the
     cvt_CT 0.5 downscale (cvt_CT.py:59-158) with a typical slice count.
-    The SA gate runs at stride 1 (reference-exact): the stride-2 Dice
-    neutrality A/B exists only for BraTS."""
+    The SA gate runs at stride 2: Dice-neutral on the pancreas task by
+    the r5 paired checkpoint-transfer A/B (accuracy_pancreas stride_ab),
+    the same gate evidence that defaulted the BraTS stride."""
     import jax
     import jax.numpy as jnp
 
@@ -281,21 +283,24 @@ def bench_e2e_pancreas(repeats: int) -> dict:
     from pointunet_tpu.pipeline.fused import FusedPointUnet
 
     shape = (256, 256, 160)
-    scfg = pancreas_saliency_config(use_bfloat16=True)
+    # r5 pancreas perf config (VERDICT r4 item 4), from the measured
+    # ROI x stride matrix @ a3b740e (stride1/whole 635, stride1/roi 529,
+    # stride2/whole 507, stride2/roi 426 ms) and the PAIRED accuracy legs
+    # (docs/perf/accuracy_pancreas.json, identical trained weights):
+    #   * stride-2 SA gate: Dice-NEUTRAL (0.9029 vs 0.9017 raw; 0.9087
+    #     vs 0.9080 postprocessed) -> DEFAULT, like the BraTS gate.
+    #   * body-ROI window: -81 ms more but -0.009..-0.010 Dice (the
+    #     inference instance-norm footprint shifts off the whole-volume
+    #     training distribution) -> opt-in (roi_shape=(240, 208, 160)),
+    #     following the repo's rule that Dice-costing modes never
+    #     default. The reference windows the whole volume (eval.py:103).
+    scfg = pancreas_saliency_config(use_bfloat16=True, sa_gate_stride=2)
     pcfg = pancreas_pointseg_config(use_bfloat16=True)
     rng = jax.random.PRNGKey(0)
     smodel, svars = init_saliency_unet(rng, scfg)
     pmodel, pvars = init_randlanet(rng, pcfg)
-    # body-ROI window (r5, VERDICT r4 item 4): the CT analog of the brain
-    # bbox — the couch/air margin outside the patient's body ellipse is
-    # exactly zero after cvt_ct normalization, so the same nonzero-bbox
-    # window applies ((240, 208, 160) covers the 0.92x0.8 body ellipse of
-    # a 512->256 downscaled NIH case with margin). The reference windows
-    # the whole volume (eval.py:103); "TPU-first" beats that structure
-    # here: 1.31x less attention work on its 80%-of-e2e stage.
     pipe = FusedPointUnet(
         smodel, svars, pmodel, pvars, scfg, pcfg, volume_shape=shape,
-        roi_shape=(240, 208, 160),
     )
 
     key = jax.random.PRNGKey(1)
@@ -649,10 +654,10 @@ def bench_accuracy_pancreas(args) -> dict:
             to_vars(pstate), seval_cfg or scfg, pcfg, threshold=0.5,
             volume_shape=shape, att_downscale=att_downscale,
             mask_dilate=mask_dilate, mask_band=mask_band,
-            # body-ROI window, matching bench_e2e_pancreas so the Dice
-            # evidence covers the e2e configuration (scaled for the
-            # reduced default task)
-            roi_shape=(240, 208, 160) if args.acc_full else (88, 80, 64),
+            # whole-volume window, matching the r5 e2e default (the
+            # body-ROI's paired Dice cost of -0.009..-0.010 is recorded
+            # in docs/perf/accuracy_pancreas.json @ edf128d, which
+            # evaluated with roi_shape=(240, 208, 160))
         )
         warm = jax.device_put(jnp.asarray(test_vols[0][0], jnp.float32))
         jax.block_until_ready(
