@@ -1231,6 +1231,24 @@ def _backend_reachable(timeout_s: int = 180) -> bool:
         return False
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for bench runs.
+
+    Every preset jits the same contract-scale programs; without a cache a
+    fresh process pays ~5-8 min of cold TPU compiles before the first
+    measurement (and can blow a driver-side timeout on a loaded host).
+    The cache only changes compile time — measured kernels are identical.
+    Setting the config before the first computation is sufficient; the
+    backend is not initialized by these updates.
+    """
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/jax_bench_compile_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -1263,6 +1281,7 @@ def main():
     # gates a flip); accuracy: adds a paired checkpoint-transfer Dice A/B.
     parser.add_argument("--att_downscale", type=int, default=None)
     args = parser.parse_args()
+    _enable_compile_cache()
 
     if not _backend_reachable():
         print(json.dumps({
